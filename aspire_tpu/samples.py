@@ -1,0 +1,795 @@
+"""Sample containers.
+
+TPU-native data model replacing the reference's xp-polymorphic dataclasses
+(``/root/reference/src/aspire/samples.py``). All arrays are JAX arrays in a
+single namespace; conversion happens only at I/O and plotting boundaries.
+The hot path inside samplers operates on flat pytrees
+(:mod:`aspire_tpu.samplers.state`); these classes are the user-facing API:
+
+- :class:`BaseSamples`  — x, log_likelihood, log_prior, log_q (reference
+  samples.py:36-413)
+- :class:`Samples`      — importance weights, evidence, ESS (417-595)
+- :class:`MCMCSamples`  — chain-shaped samples + burn-in/thin (599-806)
+- :class:`PTMCMCSamples`— parallel-tempered chains + thermodynamic
+  integration / stepping-stone evidence (810-1205)
+- :class:`SMCSamples`   — tempered particles; incremental weights,
+  per-step evidence ratio, on-device resampling (1209-1333)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from copy import deepcopy
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ops.resampling import get_resampler
+from .ops.special import effective_sample_size, logsumexp
+from .utils import asarray, resolve_dtype, to_numpy
+
+import logging
+
+logger = logging.getLogger("aspire_tpu")
+
+Array = Any
+
+
+def _maybe(fn, value):
+    return fn(value) if value is not None else None
+
+
+@dataclass
+class BaseSamples:
+    """Samples ``x`` of shape ``(n, d)`` with log-density annotations."""
+
+    x: Array
+    log_likelihood: Array | None = None
+    log_prior: Array | None = None
+    log_q: Array | None = None
+    parameters: list[str] | None = None
+    dtype: Any = None
+
+    def __post_init__(self):
+        self.dtype = resolve_dtype(self.dtype)
+        self.x = asarray(self.x, dtype=self.dtype)
+        if self.x.ndim == 1:
+            self.x = self.x[:, None]
+        if self.dtype is None:
+            self.dtype = self.x.dtype
+        self.log_likelihood = _maybe(
+            lambda v: asarray(v, dtype=self.dtype).reshape(-1),
+            self.log_likelihood,
+        )
+        self.log_prior = _maybe(
+            lambda v: asarray(v, dtype=self.dtype).reshape(-1), self.log_prior
+        )
+        self.log_q = _maybe(
+            lambda v: asarray(v, dtype=self.dtype).reshape(-1), self.log_q
+        )
+        if self.parameters is None:
+            self.parameters = [f"x_{i}" for i in range(self.dims)]
+        else:
+            self.parameters = list(self.parameters)
+
+    # -- basic protocol ----------------------------------------------------
+
+    @property
+    def dims(self) -> int:
+        if self.x is None:
+            return 0
+        return self.x.shape[1] if self.x.ndim > 1 else 1
+
+    def __len__(self) -> int:
+        return len(self.x)
+
+    def __getitem__(self, idx) -> "BaseSamples":
+        return self.__class__(
+            x=self.x[idx],
+            log_likelihood=_maybe(lambda v: v[idx], self.log_likelihood),
+            log_prior=_maybe(lambda v: v[idx], self.log_prior),
+            log_q=_maybe(lambda v: v[idx], self.log_q),
+            parameters=self.parameters,
+            dtype=self.dtype,
+        )
+
+    def __setitem__(self, idx, value):
+        raise NotImplementedError("Setting items is not supported")
+
+    def __str__(self) -> str:
+        return (
+            f"No. samples: {len(self.x)}\n"
+            f"No. parameters: {self.x.shape[-1]}\n"
+        )
+
+    # -- conversion --------------------------------------------------------
+
+    def to_dict(self, flat: bool = True, copy: bool = True) -> dict:
+        """Dict representation; per-parameter columns (reference :142)."""
+        out = {}
+        for f in dataclasses.fields(self):
+            name = f.name
+            if name == "x":
+                continue
+            value = getattr(self, name)
+            if copy:
+                try:
+                    value = deepcopy(value)
+                except Exception:
+                    pass
+            out[name] = value
+        columns = dict(zip(self.parameters, self.x.T, strict=True))
+        if flat:
+            out.update(columns)
+        else:
+            out["samples"] = columns
+        return out
+
+    @classmethod
+    def from_dict(cls, dictionary: dict) -> "BaseSamples":
+        dictionary = dict(dictionary)
+        if "samples" in dictionary:
+            samples = dictionary.pop("samples")
+            parameters = dictionary.pop("parameters", None)
+            if parameters is None:
+                parameters = sorted(samples.keys())
+            x = np.stack([np.asarray(samples[p]) for p in parameters], axis=-1)
+        else:
+            parameters = dictionary.pop("parameters", None)
+            if parameters is None:
+                raise ValueError(
+                    "Parameters must be provided if samples are not nested "
+                    "in a 'samples' key"
+                )
+            x = np.stack(
+                [np.asarray(dictionary.pop(p)) for p in parameters], axis=-1
+            )
+        known = {f.name for f in dataclasses.fields(cls)}
+        init_fields = {
+            f.name for f in dataclasses.fields(cls) if f.init
+        }
+        kwargs = {
+            k: v
+            for k, v in dictionary.items()
+            if k in known and k in init_fields
+        }
+        return cls(x=x, parameters=list(parameters), **kwargs)
+
+    def to_dataframe(self, include: list[str] | None = None):
+        import pandas as pd
+
+        data = {
+            p: to_numpy(col)
+            for p, col in zip(self.parameters, self.x.T, strict=True)
+        }
+        if include is None:
+            include = ["log_likelihood", "log_prior", "log_q"]
+        n = len(self.x)
+        for key in include:
+            value = getattr(self, key, None)
+            data[key] = (
+                to_numpy(value) if value is not None else np.full(n, np.nan)
+            )
+        return pd.DataFrame(data)
+
+    def to_numpy(self) -> "BaseSamples":
+        """Host copy of the samples (numpy arrays) for I/O and plotting."""
+        out = deepcopy(self)
+        for f in dataclasses.fields(self):
+            value = getattr(out, f.name)
+            if isinstance(value, jax.Array):
+                setattr(out, f.name, to_numpy(value))
+        return out
+
+    # -- persistence -------------------------------------------------------
+
+    def _encode_for_hdf5(self, flat: bool = True) -> dict:
+        host = self.to_numpy()
+        dictionary = host.to_dict(flat=flat)
+        dictionary["dtype"] = str(np.dtype(self.dtype))
+        dictionary["__class__"] = type(self).__name__
+        return dictionary
+
+    def save(self, h5_file, path: str = "samples", flat: bool = False):
+        from .io import save_dict_to_hdf5
+
+        save_dict_to_hdf5(h5_file, path, self._encode_for_hdf5(flat=flat))
+
+    @classmethod
+    def load(cls, h5_file, path: str = "samples") -> "BaseSamples":
+        from .io import load_dict_from_hdf5
+
+        dictionary = load_dict_from_hdf5(h5_file, path)
+        dictionary.pop("__class__", None)
+        return cls.from_dict(dictionary)
+
+    # -- construction helpers ---------------------------------------------
+
+    @classmethod
+    def concatenate(cls, samples: list["BaseSamples"]) -> "BaseSamples":
+        if not samples:
+            raise ValueError("No samples to concatenate")
+        if not all(s.parameters == samples[0].parameters for s in samples):
+            raise ValueError("Parameters do not match")
+        if not all(s.dtype == samples[0].dtype for s in samples):
+            raise ValueError("Dtypes do not match")
+
+        def cat(name):
+            values = [getattr(s, name) for s in samples]
+            if any(v is None for v in values):
+                return None
+            return jnp.concatenate(values, axis=0)
+
+        return cls(
+            x=cat("x"),
+            log_likelihood=cat("log_likelihood"),
+            log_prior=cat("log_prior"),
+            log_q=cat("log_q"),
+            parameters=samples[0].parameters,
+            dtype=samples[0].dtype,
+        )
+
+    @classmethod
+    def from_samples(cls, samples: "BaseSamples", **kwargs) -> "BaseSamples":
+        kwargs.setdefault("dtype", samples.dtype)
+        kwargs.setdefault("parameters", samples.parameters)
+        return cls(
+            x=samples.x,
+            log_likelihood=samples.log_likelihood,
+            log_prior=samples.log_prior,
+            log_q=samples.log_q,
+            **kwargs,
+        )
+
+    # -- plotting ----------------------------------------------------------
+
+    def plot_corner(self, parameters: list[str] | None = None, fig=None, **kwargs):
+        import corner
+
+        kwargs = deepcopy(kwargs)
+        kwargs.setdefault("labels", self.parameters)
+        if parameters is not None:
+            indices = [self.parameters.index(p) for p in parameters]
+            kwargs["labels"] = parameters
+            x = self.x[:, indices]
+        else:
+            x = self.x
+        return corner.corner(to_numpy(x), fig=fig, **kwargs)
+
+
+@dataclass
+class Samples(BaseSamples):
+    """Weighted (importance) samples. Parity: reference samples.py:417-595."""
+
+    log_evidence: float | None = None
+    log_evidence_error: float | None = None
+    log_w: Array = field(init=False, default=None)
+    weights: Array = field(init=False, default=None)
+    evidence: Array = field(init=False, default=None)
+    evidence_error: Array = field(init=False, default=None)
+    effective_sample_size: Array = field(init=False, default=None)
+
+    def __post_init__(self):
+        super().__post_init__()
+        if all(
+            v is not None
+            for v in (self.log_likelihood, self.log_prior, self.log_q)
+        ):
+            self.compute_weights()
+
+    def compute_weights(self) -> None:
+        """log_w = logL + logPi - log_q; evidence + delta-method error + ESS.
+
+        Parity: reference ``Samples.compute_weights`` (samples.py:457-475).
+        """
+        self.log_w = self.log_likelihood + self.log_prior - self.log_q
+        n = len(self.x)
+        self.log_evidence = logsumexp(self.log_w) - math.log(n)
+        self.weights = jnp.exp(self.log_w)
+        self.evidence = jnp.exp(self.log_evidence)
+        self.evidence_error = jnp.sqrt(
+            jnp.sum((self.weights - self.evidence) ** 2) / (n * (n - 1))
+        )
+        self.log_evidence_error = jnp.abs(self.evidence_error / self.evidence)
+        self.effective_sample_size = effective_sample_size(
+            self.log_w - jnp.max(self.log_w)
+        )
+
+    @property
+    def efficiency(self):
+        if self.log_w is None:
+            raise RuntimeError("Samples do not contain weights!")
+        return self.effective_sample_size / len(self.x)
+
+    @property
+    def scaled_weights(self):
+        return jnp.exp(self.log_w - jnp.max(self.log_w))
+
+    def rejection_sample(self, key: jax.Array | None = None, rng=None):
+        """Rejection-sample to unweighted samples (reference :481-494)."""
+        n = len(self.x)
+        if key is not None:
+            log_u = jnp.log(jax.random.uniform(key, (n,)))
+        else:
+            rng = rng or np.random.default_rng()
+            log_u = jnp.asarray(np.log(rng.uniform(size=n)))
+        log_w = self.log_w - jnp.max(self.log_w)
+        accept = to_numpy(log_w > log_u)
+        return self.__class__(
+            x=self.x[accept],
+            log_likelihood=self.log_likelihood[accept],
+            log_prior=self.log_prior[accept],
+            dtype=self.dtype,
+            parameters=self.parameters,
+        )
+
+    def plot_corner(self, include_weights: bool = True, **kwargs):
+        kwargs = deepcopy(kwargs)
+        if (
+            include_weights
+            and self.weights is not None
+            and "weights" not in kwargs
+        ):
+            kwargs["weights"] = to_numpy(self.scaled_weights)
+        return super().plot_corner(**kwargs)
+
+    def __getitem__(self, idx):
+        sliced = super().__getitem__(idx)
+        sliced.log_evidence = self.log_evidence
+        sliced.log_evidence_error = self.log_evidence_error
+        return sliced
+
+    def __str__(self):
+        out = super().__str__()
+        if self.log_evidence is not None:
+            out += (
+                f"Log evidence: {float(self.log_evidence):.2f} "
+                f"+/- {float(self.log_evidence_error):.2f}\n"
+            )
+        if self.log_w is not None:
+            out += (
+                f"Effective sample size: "
+                f"{float(self.effective_sample_size):.1f}\n"
+                f"Efficiency: {float(self.efficiency):.2f}\n"
+            )
+        return out
+
+
+@dataclass
+class MCMCSamples(BaseSamples):
+    """Chain-shaped samples ``(n_steps, n_walkers, d)`` stored flattened.
+
+    Parity: reference samples.py:599-806.
+    """
+
+    chain_shape: tuple | None = None
+    burn_in: int = 0
+    thin: int = 1
+    autocorrelation_time: Array | None = None
+
+    def __post_init__(self):
+        super().__post_init__()
+        if self.chain_shape is not None:
+            self.chain_shape = tuple(int(s) for s in self.chain_shape)
+
+    @classmethod
+    def from_chain(
+        cls,
+        chain: Array,
+        parameters: list[str] | None = None,
+        dtype: Any = None,
+        **kwargs,
+    ) -> "MCMCSamples":
+        """Build from a chain array ``(n_steps, n_walkers, d)``."""
+        chain = asarray(chain, dtype=dtype)
+        if chain.ndim == 2:
+            chain = chain[:, None, :]
+        chain_shape = chain.shape[:-1]
+        x = chain.reshape(-1, chain.shape[-1])
+        return cls(
+            x=x,
+            chain_shape=chain_shape,
+            parameters=parameters,
+            dtype=dtype,
+            **kwargs,
+        )
+
+    @property
+    def chain(self) -> Array:
+        """Samples reshaped back to ``(n_steps, n_walkers, d)``."""
+        if self.chain_shape is None:
+            raise ValueError("chain_shape is not set")
+        return self.x.reshape(*self.chain_shape, self.dims)
+
+    def _reshape_like_chain(self, value: Array) -> Array:
+        if self.chain_shape is None:
+            raise ValueError("chain_shape is not set")
+        return value.reshape(*self.chain_shape)
+
+    def compute_autocorrelation_time(self, c: float = 5.0) -> Array:
+        """Integrated autocorrelation time per parameter (emcee-style).
+
+        Uses the FFT autocorrelation with Sokal's adaptive window; the
+        reference delegates this to ``emcee.autocorr``
+        (samples.py:726-806); here it is implemented natively.
+        """
+        chain = to_numpy(self.chain)  # (n_steps, n_walkers, d)
+        n = chain.shape[0]
+        taus = []
+        for k in range(chain.shape[-1]):
+            x = chain[:, :, k]
+            x = x - x.mean(axis=0, keepdims=True)
+            nfft = 1 << (2 * n - 1).bit_length()
+            f = np.fft.fft(x, n=nfft, axis=0)
+            acf = np.fft.ifft(f * np.conjugate(f), axis=0)[:n].real
+            acf = acf.mean(axis=1)
+            if acf[0] <= 0:
+                taus.append(np.nan)
+                continue
+            acf /= acf[0]
+            cumulative = 2.0 * np.cumsum(acf) - 1.0
+            window = np.arange(n) < c * cumulative
+            if window.all():
+                tau = cumulative[-1]
+            else:
+                tau = cumulative[np.argmin(window)]
+            taus.append(tau)
+        self.autocorrelation_time = jnp.asarray(np.array(taus))
+        return self.autocorrelation_time
+
+    def post_process(
+        self, burn_in: int | None = None, thin: int | None = None
+    ) -> "MCMCSamples":
+        """Apply burn-in/thinning along the step axis (reference :726)."""
+        if self.chain_shape is None:
+            raise ValueError("chain_shape is not set")
+        burn_in = self.burn_in if burn_in is None else burn_in
+        thin = self.thin if thin is None else thin
+        chain = self.chain[burn_in::thin]
+
+        def slice_chain(value):
+            if value is None:
+                return None
+            reshaped = self._reshape_like_chain(value)
+            return reshaped[burn_in::thin].reshape(-1)
+
+        new_shape = chain.shape[:-1]
+        return self.__class__(
+            x=chain.reshape(-1, self.dims),
+            log_likelihood=slice_chain(self.log_likelihood),
+            log_prior=slice_chain(self.log_prior),
+            log_q=slice_chain(self.log_q),
+            parameters=self.parameters,
+            dtype=self.dtype,
+            chain_shape=new_shape,
+            burn_in=burn_in,
+            thin=thin,
+        )
+
+    def to_samples(self) -> Samples:
+        return Samples.from_samples(self)
+
+
+@dataclass
+class PTMCMCSamples(MCMCSamples):
+    """Parallel-tempered chains ``(n_temps, n_steps, n_walkers, d)``.
+
+    Parity: reference samples.py:810-1205, including thermodynamic
+    integration (Annis et al. 2019 eqs. 35-37) and stepping-stone
+    (eqs. 51-53) evidence estimators.
+    """
+
+    betas: Array | None = None
+
+    def __post_init__(self):
+        super().__post_init__()
+        if self.betas is not None:
+            self.betas = to_numpy(self.betas)
+
+    def __getitem__(self, idx):
+        raise NotImplementedError(
+            "Slicing is not supported for PTMCMCSamples. Use "
+            "at_temperature() to extract samples at a specific temperature."
+        )
+
+    @property
+    def n_temperatures(self) -> int:
+        return self.chain_shape[0]
+
+    def at_temperature(self, index: int) -> MCMCSamples:
+        """Samples at temperature ``index`` as plain MCMCSamples."""
+        chain = self.chain  # (T, n_steps, n_walkers, d)
+
+        def pick(value):
+            if value is None:
+                return None
+            return self._reshape_like_chain(value)[index].reshape(-1)
+
+        return MCMCSamples(
+            x=chain[index].reshape(-1, self.dims),
+            log_likelihood=pick(self.log_likelihood),
+            log_prior=pick(self.log_prior),
+            log_q=pick(self.log_q),
+            parameters=self.parameters,
+            dtype=self.dtype,
+            chain_shape=self.chain_shape[1:],
+            burn_in=self.burn_in,
+            thin=self.thin,
+            autocorrelation_time=(
+                self.autocorrelation_time[index]
+                if self.autocorrelation_time is not None
+                else None
+            ),
+        )
+
+    def cold_chain(self) -> MCMCSamples:
+        return self.at_temperature(0)
+
+    def subsample(self, n: int, rng=None) -> "PTMCMCSamples":
+        """Randomly subsample ``n`` (step, walker) entries per temperature."""
+        rng = rng or np.random.default_rng()
+        chain = to_numpy(self.chain)
+        n_temps = chain.shape[0]
+        flat = chain.reshape(n_temps, -1, self.dims)
+        total = flat.shape[1]
+        if n > total:
+            raise ValueError(
+                f"Cannot subsample {n} from {total} samples per temperature"
+            )
+        idx = rng.choice(total, size=n, replace=False)
+
+        def pick(value):
+            if value is None:
+                return None
+            v = to_numpy(self._reshape_like_chain(value)).reshape(n_temps, -1)
+            return v[:, idx].reshape(-1)
+
+        return self.__class__(
+            x=flat[:, idx].reshape(-1, self.dims),
+            log_likelihood=pick(self.log_likelihood),
+            log_prior=pick(self.log_prior),
+            log_q=pick(self.log_q),
+            parameters=self.parameters,
+            dtype=self.dtype,
+            chain_shape=(n_temps, n, 1),
+            betas=self.betas,
+        )
+
+    def log_evidence_thermodynamic_integration(
+        self, burn_in_fraction: float | None = 0.1, method: str = "variance"
+    ) -> tuple[float, float]:
+        """Thermodynamic-integration logZ (Annis 2019 §2.1.3, eqs. 35-37).
+
+        Parity: reference samples.py:1013-1102.
+        """
+        if self.betas is None:
+            raise ValueError("Betas must be provided to compute evidence")
+        logl_chain = to_numpy(self._reshape_like_chain(self.log_likelihood))
+        istart = (
+            int(logl_chain.shape[1] * burn_in_fraction)
+            if burn_in_fraction is not None
+            else 0
+        )
+        logl_chain = logl_chain[:, istart:]
+        logl_chain = logl_chain.reshape(logl_chain.shape[0], -1)
+        if logl_chain.shape[1] == 0:
+            raise ValueError(
+                "No samples available after burn-in for TI evidence"
+            )
+        order = np.argsort(self.betas)
+        betas = np.asarray(self.betas)[order]
+        logls = logl_chain[order]
+        mean_logls = np.mean(logls, axis=1)
+        log_evidence = np.trapezoid(mean_logls, betas)
+        if method == "variance":
+            # Eq. (36)-(37): per-sample TI values, variance of the mean.
+            ti_per_sample = np.trapezoid(logls, betas, axis=0)
+            n = ti_per_sample.shape[0]
+            log_evidence_error = math.sqrt(float(np.var(ti_per_sample) / n))
+        elif method == "coarse":
+            # Error from comparing against integration on every other beta.
+            betas_desc = betas[::-1]
+            logls_desc = mean_logls[::-1]
+            if betas_desc[-1] != 0:
+                logger.warning(
+                    "Hottest chain is not at beta=0; duplicating hottest "
+                    "chain at beta=0 for error estimation"
+                )
+                betas_full = np.concatenate((betas_desc, [0]))
+                betas_half = np.concatenate((betas_desc[::2], [0]))
+                logls_half = np.concatenate(
+                    (logls_desc[::2], [logls_desc[-1]])
+                )
+                logls_full = np.concatenate((logls_desc, [logls_desc[-1]]))
+            else:
+                betas_full = betas_desc
+                logls_full = logls_desc
+                betas_half = np.concatenate((betas_desc[:-1:2], [0]))
+                logls_half = np.concatenate(
+                    (logls_desc[:-1:2], [logls_desc[-1]])
+                )
+            del betas_full, logls_full  # full integral already computed
+            log_evidence_2 = -np.trapezoid(logls_half, betas_half)
+            log_evidence_error = abs(log_evidence - log_evidence_2)
+        else:
+            raise ValueError(
+                f"Invalid method for log evidence error estimation: {method}"
+            )
+        return float(log_evidence), float(log_evidence_error)
+
+    def log_evidence_stepping_stone(
+        self, burn_in_fraction: float | None = 0.1
+    ) -> tuple[float, float]:
+        """Stepping-stone logZ (Annis 2019 §2.2.3, eqs. 51-53).
+
+        Parity: reference samples.py:1104-1170.
+        """
+        if self.betas is None:
+            raise ValueError("Betas must be provided to compute evidence")
+        betas_arr = np.asarray(self.betas)
+        if betas_arr[-1] != 0:
+            raise ValueError(
+                "Stepping stone estimator requires the hottest chain to be "
+                "at beta=0"
+            )
+        logl_chain = to_numpy(self._reshape_like_chain(self.log_likelihood))
+        istart = (
+            int(logl_chain.shape[1] * burn_in_fraction)
+            if burn_in_fraction is not None
+            else 0
+        )
+        logl_chain = logl_chain[:, istart:]
+        logl_chain = logl_chain.reshape(logl_chain.shape[0], -1)
+        order = np.argsort(betas_arr)[::-1]
+        betas = betas_arr[order]
+        logls = logl_chain[order]
+        n_samples = logls.shape[1]
+        if n_samples == 0:
+            raise ValueError(
+                "No samples available after burn-in for stepping-stone "
+                "evidence"
+            )
+        log_evidence = 0.0
+        var_log_ss = 0.0
+        for i in range(len(betas) - 1):
+            dbeta = betas[i] - betas[i + 1]
+            # Eq. (51): log r_j = log mean exp(dbeta * logL_{j+1}).
+            a = dbeta * logls[i + 1]
+            a_max = np.max(a)
+            exp_shift = np.exp(a - a_max)
+            mean_shift = float(np.mean(exp_shift))
+            log_evidence += math.log(mean_shift) + float(a_max)
+            # Eq. (53) accumulation.
+            ratio = exp_shift / mean_shift
+            var_log_ss += float(np.sum(ratio**2))
+        var_log_ss /= n_samples**2
+        return float(log_evidence), math.sqrt(float(var_log_ss))
+
+    def plot_chain(
+        self, beta_index: int, n_walkers: int | None = None, **kwargs
+    ):
+        import matplotlib.pyplot as plt
+
+        chain = to_numpy(self.chain)[beta_index]  # (n_steps, n_walkers, d)
+        if n_walkers is not None:
+            chain = chain[:, :n_walkers]
+        d = chain.shape[-1]
+        fig, axes = plt.subplots(d, 1, sharex=True, figsize=(8, 2 * d))
+        if d == 1:
+            axes = [axes]
+        for k, ax in enumerate(axes):
+            ax.plot(chain[:, :, k], alpha=0.5, **kwargs)
+            ax.set_ylabel(self.parameters[k])
+        axes[-1].set_xlabel("step")
+        return fig
+
+
+@dataclass
+class SMCSamples(BaseSamples):
+    """Particles at inverse temperature ``beta`` on the tempered path
+    ``log p_t = (1-beta) log_q + beta (logL + logPi)``.
+
+    Parity: reference samples.py:1209-1333, with resampling moved fully
+    on-device (the reference routes through host numpy ``rng.choice``,
+    samples.py:1277-1278).
+    """
+
+    beta: float | None = None
+    log_evidence: float | None = None
+    log_evidence_error: float | None = None
+
+    def log_p_t(self, beta) -> Array:
+        log_p_target = self.log_likelihood + self.log_prior
+        return (1 - beta) * self.log_q + beta * log_p_target
+
+    def unnormalized_log_weights(self, beta) -> Array:
+        return (self.beta - beta) * self.log_q + (beta - self.beta) * (
+            self.log_likelihood + self.log_prior
+        )
+
+    def log_evidence_ratio(self, beta) -> Array:
+        log_w = self.unnormalized_log_weights(beta)
+        return logsumexp(log_w) - math.log(len(self.x))
+
+    def log_evidence_ratio_variance(self, beta) -> Array:
+        """Delta-method variance of the per-step evidence ratio."""
+        log_w = self.unnormalized_log_weights(beta)
+        m = jnp.max(log_w)
+        u = jnp.exp(log_w - m)
+        mean_w = jnp.mean(u)
+        var_w = jnp.var(u)
+        return jnp.where(
+            mean_w != 0, var_w / (len(self) * mean_w**2), jnp.nan
+        )
+
+    def log_weights(self, beta) -> Array:
+        log_w = self.unnormalized_log_weights(beta)
+        if bool(jnp.isnan(log_w).any()):
+            raise ValueError(
+                f"Log weights contain NaN values for beta={beta}"
+            )
+        log_evidence_ratio = logsumexp(log_w) - math.log(len(self.x))
+        return log_w + log_evidence_ratio
+
+    def resample(
+        self,
+        beta,
+        n_samples: int | None = None,
+        key: jax.Array | None = None,
+        method: str = "systematic",
+        rng=None,
+    ) -> "SMCSamples":
+        """Resample particles to temperature ``beta`` on device."""
+        n = len(self.x)
+        if n_samples is None:
+            n_samples = n
+        if beta == self.beta and n_samples == n:
+            logger.warning(
+                "Resampling with the same beta value, returning identical "
+                "samples"
+            )
+            return self
+        if beta == self.beta:
+            log_w = jnp.zeros(n)
+        else:
+            log_w = self.log_weights(beta)
+        if key is None:
+            rng = rng or np.random.default_rng()
+            key = jax.random.key(int(rng.integers(2**31 - 1)))
+        idx = get_resampler(method)(key, log_w, n_samples)
+        return self.__class__(
+            x=self.x[idx],
+            log_likelihood=self.log_likelihood[idx],
+            log_prior=self.log_prior[idx],
+            log_q=self.log_q[idx],
+            beta=beta,
+            dtype=self.dtype,
+            parameters=self.parameters,
+        )
+
+    def to_standard_samples(self) -> Samples:
+        return Samples(
+            x=self.x,
+            log_likelihood=self.log_likelihood,
+            log_prior=self.log_prior,
+            parameters=self.parameters,
+            log_evidence=self.log_evidence,
+            log_evidence_error=self.log_evidence_error,
+        )
+
+    def __getitem__(self, idx):
+        sliced = super().__getitem__(idx)
+        sliced.beta = self.beta
+        sliced.log_evidence = self.log_evidence
+        sliced.log_evidence_error = self.log_evidence_error
+        return sliced
+
+    def __str__(self):
+        out = super().__str__()
+        if self.log_evidence is not None:
+            out += f"Log evidence: {float(self.log_evidence):.2f}\n"
+        return out

@@ -1,0 +1,378 @@
+"""Tests for the sample containers (model: reference tests/test_samples.py)."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aspire_tpu.ops.special import effective_sample_size, logsumexp
+from aspire_tpu.samples import (
+    BaseSamples,
+    MCMCSamples,
+    PTMCMCSamples,
+    Samples,
+    SMCSamples,
+)
+
+
+def make_samples(rng, n=100, d=3, cls=Samples, **kwargs):
+    return cls(
+        x=rng.normal(size=(n, d)),
+        log_likelihood=rng.normal(size=n),
+        log_prior=rng.normal(size=n),
+        log_q=rng.normal(size=n),
+        **kwargs,
+    )
+
+
+class TestBaseSamples:
+    def test_basic(self, rng):
+        s = BaseSamples(rng.normal(size=(10, 2)))
+        assert len(s) == 10
+        assert s.dims == 2
+        assert s.parameters == ["x_0", "x_1"]
+
+    def test_1d_promoted(self, rng):
+        s = BaseSamples(rng.normal(size=10))
+        assert s.x.shape == (10, 1)
+
+    def test_dtype(self, rng, dtype):
+        s = BaseSamples(rng.normal(size=(10, 2)), dtype=dtype)
+        if dtype is not None:
+            assert s.x.dtype == jnp.dtype(dtype)
+
+    def test_getitem(self, rng):
+        s = make_samples(rng, cls=BaseSamples)
+        sub = s[:10]
+        assert len(sub) == 10
+        assert sub.log_likelihood.shape == (10,)
+
+    def test_concatenate(self, rng):
+        s1 = make_samples(rng, n=10, cls=BaseSamples)
+        s2 = make_samples(rng, n=20, cls=BaseSamples)
+        cat = BaseSamples.concatenate([s1, s2])
+        assert len(cat) == 30
+
+    def test_concatenate_empty_raises(self):
+        with pytest.raises(ValueError, match="No samples"):
+            BaseSamples.concatenate([])
+
+    def test_concatenate_mismatched_parameters_raises(self, rng):
+        s1 = BaseSamples(rng.normal(size=(5, 2)), parameters=["a", "b"])
+        s2 = BaseSamples(rng.normal(size=(5, 2)), parameters=["c", "d"])
+        with pytest.raises(ValueError, match="Parameters do not match"):
+            BaseSamples.concatenate([s1, s2])
+
+    def test_to_dict_roundtrip(self, rng):
+        s = make_samples(rng, cls=BaseSamples)
+        d = s.to_dict(flat=True)
+        s2 = BaseSamples.from_dict(d)
+        np.testing.assert_allclose(np.asarray(s2.x), np.asarray(s.x))
+
+    def test_to_dict_nested_roundtrip(self, rng):
+        s = make_samples(rng, cls=BaseSamples)
+        d = s.to_dict(flat=False)
+        s2 = BaseSamples.from_dict(d)
+        np.testing.assert_allclose(np.asarray(s2.x), np.asarray(s.x))
+
+    def test_to_dataframe(self, rng):
+        s = make_samples(rng, cls=BaseSamples, n=17, d=2)
+        df = s.to_dataframe()
+        assert len(df) == 17
+        assert "x_0" in df.columns
+        assert "log_likelihood" in df.columns
+
+    def test_save_load(self, rng, tmp_path):
+        import h5py
+
+        s = make_samples(rng, cls=BaseSamples)
+        path = tmp_path / "s.h5"
+        with h5py.File(path, "w") as f:
+            s.save(f, "samples")
+        with h5py.File(path, "r") as f:
+            s2 = BaseSamples.load(f, "samples")
+        np.testing.assert_allclose(np.asarray(s2.x), np.asarray(s.x))
+        assert s2.parameters == s.parameters
+
+
+class TestSamples:
+    def test_compute_weights_constant_case(self, rng):
+        """If logL+logPi == log_q exactly, logZ = 0 and ESS = n."""
+        n, d = 50, 2
+        x = rng.normal(size=(n, d))
+        log_prior = rng.normal(size=n)
+        log_likelihood = rng.normal(size=n)
+        log_q = log_prior + log_likelihood
+        s = Samples(
+            x,
+            log_likelihood=log_likelihood,
+            log_prior=log_prior,
+            log_q=log_q,
+        )
+        assert float(s.log_evidence) == pytest.approx(0.0, abs=1e-10)
+        assert float(s.effective_sample_size) == pytest.approx(n, rel=1e-10)
+        assert float(s.efficiency) == pytest.approx(1.0, rel=1e-10)
+
+    def test_log_evidence_shift(self, rng):
+        """A constant offset c in log_w gives logZ = c."""
+        n = 100
+        x = rng.normal(size=(n, 2))
+        log_q = rng.normal(size=n)
+        s = Samples(
+            x,
+            log_likelihood=log_q + 3.0,
+            log_prior=jnp.zeros(n),
+            log_q=log_q,
+        )
+        assert float(s.log_evidence) == pytest.approx(3.0, abs=1e-10)
+
+    def test_rejection_sample_proportional(self, rng):
+        n = 20000
+        x = rng.normal(size=(n, 1))
+        log_w = np.where(x[:, 0] > 0, np.log(2.0), 0.0)
+        s = Samples(
+            x,
+            log_likelihood=log_w,
+            log_prior=np.zeros(n),
+            log_q=np.zeros(n),
+        )
+        out = s.rejection_sample(key=jax.random.key(0))
+        frac_pos = float(np.mean(np.asarray(out.x[:, 0]) > 0))
+        # Positive samples twice as likely to be kept -> ~2/3 of accepted.
+        assert frac_pos == pytest.approx(2 / 3, abs=0.03)
+
+    def test_getitem_keeps_evidence(self, rng):
+        s = make_samples(rng)
+        sub = s[:10]
+        assert sub.log_evidence == s.log_evidence
+
+
+class TestMCMCSamples:
+    def test_from_chain_roundtrip(self, rng):
+        chain = rng.normal(size=(20, 4, 3))
+        s = MCMCSamples.from_chain(chain)
+        assert s.x.shape == (80, 3)
+        np.testing.assert_allclose(np.asarray(s.chain), chain)
+
+    def test_post_process(self, rng):
+        chain = rng.normal(size=(20, 4, 3))
+        s = MCMCSamples.from_chain(
+            chain, log_likelihood=rng.normal(size=80)
+        )
+        out = s.post_process(burn_in=10, thin=2)
+        assert out.chain.shape == (5, 4, 3)
+        assert out.log_likelihood.shape == (20,)
+
+    def test_autocorrelation_time(self, rng):
+        # Strongly autocorrelated AR(1) chain should give tau >> 1.
+        n, w = 2000, 4
+        x = np.zeros((n, w, 1))
+        for t in range(1, n):
+            x[t] = 0.95 * x[t - 1] + rng.normal(size=(w, 1))
+        s = MCMCSamples.from_chain(x)
+        tau = s.compute_autocorrelation_time()
+        assert float(tau[0]) > 10
+
+
+class TestPTMCMCSamples:
+    def _make(self, rng, n_temps=6, n_steps=50, n_walkers=4, d=2):
+        betas = np.linspace(1, 0, n_temps)
+        chain = rng.normal(size=(n_temps, n_steps, n_walkers, d))
+        logl = rng.normal(size=chain[..., 0].size)
+        return PTMCMCSamples.from_chain(
+            chain.reshape(-1, *chain.shape[2:]), betas=betas
+        ), betas, chain, logl
+
+    def test_at_temperature(self, rng):
+        n_temps, n_steps, n_walkers, d = 3, 10, 4, 2
+        chain = rng.normal(size=(n_temps, n_steps, n_walkers, d))
+        s = PTMCMCSamples(
+            x=chain.reshape(-1, d),
+            chain_shape=(n_temps, n_steps, n_walkers),
+            betas=np.linspace(1, 0, n_temps),
+        )
+        cold = s.cold_chain()
+        np.testing.assert_allclose(
+            np.asarray(cold.chain), chain[0]
+        )
+
+    def test_slicing_raises(self, rng):
+        s = PTMCMCSamples(
+            x=rng.normal(size=(12, 2)),
+            chain_shape=(3, 2, 2),
+            betas=np.linspace(1, 0, 3),
+        )
+        with pytest.raises(NotImplementedError):
+            s[:2]
+
+    def test_ti_constant_likelihood(self, rng):
+        """If logL == c for all samples and temps, TI logZ == c exactly."""
+        n_temps, n_steps, n_walkers, d = 5, 20, 2, 2
+        c = -3.5
+        s = PTMCMCSamples(
+            x=rng.normal(size=(n_temps * n_steps * n_walkers, d)),
+            log_likelihood=np.full(n_temps * n_steps * n_walkers, c),
+            chain_shape=(n_temps, n_steps, n_walkers),
+            betas=np.linspace(1, 0, n_temps),
+        )
+        logz, err = s.log_evidence_thermodynamic_integration()
+        assert logz == pytest.approx(c, abs=1e-10)
+        assert err == pytest.approx(0.0, abs=1e-10)
+
+    def test_stepping_stone_constant_likelihood(self, rng):
+        n_temps, n_steps, n_walkers, d = 5, 20, 2, 2
+        c = -2.0
+        s = PTMCMCSamples(
+            x=rng.normal(size=(n_temps * n_steps * n_walkers, d)),
+            log_likelihood=np.full(n_temps * n_steps * n_walkers, c),
+            chain_shape=(n_temps, n_steps, n_walkers),
+            betas=np.linspace(1, 0, n_temps),
+        )
+        logz, _ = s.log_evidence_stepping_stone()
+        assert logz == pytest.approx(c, abs=1e-10)
+
+    def test_stepping_stone_requires_beta_zero(self, rng):
+        s = PTMCMCSamples(
+            x=rng.normal(size=(12, 2)),
+            log_likelihood=rng.normal(size=12),
+            chain_shape=(3, 2, 2),
+            betas=np.linspace(1, 0.1, 3),
+        )
+        with pytest.raises(ValueError, match="hottest"):
+            s.log_evidence_stepping_stone()
+
+    def test_subsample(self, rng):
+        n_temps, n_steps, n_walkers, d = 3, 10, 4, 2
+        s = PTMCMCSamples(
+            x=rng.normal(size=(n_temps * n_steps * n_walkers, d)),
+            log_likelihood=rng.normal(size=n_temps * n_steps * n_walkers),
+            chain_shape=(n_temps, n_steps, n_walkers),
+            betas=np.linspace(1, 0, n_temps),
+        )
+        sub = s.subsample(5, rng=rng)
+        assert sub.chain_shape == (3, 5, 1)
+        assert len(sub) == 15
+
+
+class TestSMCSamples:
+    def _make(self, rng, n=200, beta=0.3):
+        return SMCSamples(
+            x=rng.normal(size=(n, 2)),
+            log_likelihood=rng.normal(size=n),
+            log_prior=rng.normal(size=n),
+            log_q=rng.normal(size=n),
+            beta=beta,
+        )
+
+    def test_log_p_t_endpoints(self, rng):
+        s = self._make(rng)
+        np.testing.assert_allclose(
+            np.asarray(s.log_p_t(0.0)), np.asarray(s.log_q)
+        )
+        np.testing.assert_allclose(
+            np.asarray(s.log_p_t(1.0)),
+            np.asarray(s.log_likelihood + s.log_prior),
+        )
+
+    def test_unnormalized_log_weights(self, rng):
+        s = self._make(rng, beta=0.2)
+        lw = s.unnormalized_log_weights(0.5)
+        expected = 0.3 * (
+            np.asarray(s.log_likelihood + s.log_prior) - np.asarray(s.log_q)
+        )
+        np.testing.assert_allclose(np.asarray(lw), expected, rtol=1e-10)
+
+    def test_log_weights_offset(self, rng):
+        """Parity with reference samples.py:1244-1249: log_weights =
+        unnormalized log_w + log evidence ratio (a constant shift)."""
+        s = self._make(rng)
+        lw = np.asarray(s.log_weights(0.6))
+        raw = np.asarray(s.unnormalized_log_weights(0.6))
+        ratio = float(s.log_evidence_ratio(0.6))
+        np.testing.assert_allclose(lw, raw + ratio, rtol=1e-10)
+        assert math.isfinite(ratio)
+
+    def test_log_weights_nan_raises(self, rng):
+        s = self._make(rng)
+        s.log_likelihood = s.log_likelihood.at[0].set(jnp.nan)
+        with pytest.raises(ValueError, match="NaN"):
+            s.log_weights(0.5)
+
+    def test_evidence_ratio_constant(self, rng):
+        """Constant logL+logPi-log_q == c gives ratio = dbeta * c."""
+        n = 100
+        x = rng.normal(size=(n, 2))
+        log_q = rng.normal(size=n)
+        c = 2.5
+        s = SMCSamples(
+            x,
+            log_likelihood=log_q + c,
+            log_prior=np.zeros(n),
+            log_q=log_q,
+            beta=0.2,
+        )
+        ratio = float(s.log_evidence_ratio(0.7))
+        assert ratio == pytest.approx(0.5 * c, abs=1e-10)
+        var = float(s.log_evidence_ratio_variance(0.7))
+        assert var == pytest.approx(0.0, abs=1e-12)
+
+    @pytest.mark.parametrize(
+        "method", ["systematic", "multinomial", "stratified", "residual"]
+    )
+    def test_resample_methods(self, rng, method):
+        s = self._make(rng, n=500)
+        out = s.resample(0.8, key=jax.random.key(1), method=method)
+        assert len(out) == 500
+        assert out.beta == 0.8
+
+    def test_resample_targets_weights(self, rng):
+        """Resampled population concentrates on high-weight particles."""
+        n = 5000
+        x = np.arange(n, dtype=float)[:, None]
+        log_q = np.zeros(n)
+        # Give the first half much higher targets.
+        logl = np.where(x[:, 0] < n / 2, 5.0, 0.0)
+        s = SMCSamples(
+            x, log_likelihood=logl, log_prior=np.zeros(n), log_q=log_q,
+            beta=0.0,
+        )
+        out = s.resample(1.0, key=jax.random.key(2), method="systematic")
+        frac_low = float(np.mean(np.asarray(out.x[:, 0]) < n / 2))
+        assert frac_low > 0.98
+
+    def test_resample_same_beta_warns(self, rng, caplog):
+        s = self._make(rng)
+        out = s.resample(s.beta)
+        assert out is s
+
+    def test_to_standard_samples(self, rng):
+        s = self._make(rng)
+        s.log_evidence = -1.0
+        s.log_evidence_error = 0.1
+        std = s.to_standard_samples()
+        assert isinstance(std, Samples)
+        assert std.log_evidence is not None
+
+
+class TestOps:
+    def test_logsumexp_matches_scipy(self, rng):
+        from scipy.special import logsumexp as scipy_lse
+
+        x = jnp.asarray(rng.normal(size=1000))
+        assert float(logsumexp(x)) == pytest.approx(
+            float(scipy_lse(np.asarray(x))), rel=1e-9
+        )
+
+    def test_logsumexp_all_neg_inf(self):
+        x = jnp.full(10, -jnp.inf)
+        assert float(logsumexp(x)) == -jnp.inf
+
+    def test_ess_uniform(self):
+        lw = jnp.zeros(100)
+        assert float(effective_sample_size(lw)) == pytest.approx(100.0)
+
+    def test_ess_single(self):
+        lw = jnp.concatenate([jnp.zeros(1), jnp.full(99, -jnp.inf)])
+        assert float(effective_sample_size(lw)) == pytest.approx(1.0)
