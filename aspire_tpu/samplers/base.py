@@ -1,0 +1,350 @@
+"""Sampler base class: problem definition, eval counting, checkpointing.
+
+Parity with reference ``samplers/base.py:20-287``: the sampler owns the
+user ``log_likelihood``/``log_prior`` callables (which receive a
+:class:`~aspire_tpu.samples.Samples` view and return a ``(n,)`` array),
+the flow proposal, the preconditioning transform, a likelihood-evaluation
+counter, config capture, and the checkpoint protocol (state capture ->
+pickled bytes at ``/checkpoint/state`` in an HDF5 file -> restore).
+
+TPU-native addition: the sampler detects whether the user callables are
+jit-traceable. If so, density evaluations fuse into the on-device sampler
+kernels; otherwise they are evaluated on host exactly like the reference
+(still vectorized over the whole particle array per call).
+"""
+
+from __future__ import annotations
+
+import logging
+import pickle
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..samples import Samples
+from ..utils import CallHistory, function_id, resolve_dtype
+
+logger = logging.getLogger("aspire_tpu")
+
+
+class _SamplesView:
+    """Lightweight Samples-like view passed to user callables.
+
+    Exposes ``.x`` (and ``parameters``) without triggering the data-model
+    machinery, so user likelihoods written against the reference API
+    (``samples.x``) work unchanged inside ``jit`` traces.
+    """
+
+    __slots__ = ("x", "parameters")
+
+    def __init__(self, x, parameters=None):
+        self.x = x
+        self.parameters = parameters
+
+    def __len__(self):
+        return self.x.shape[0]
+
+    @property
+    def dims(self):
+        return self.x.shape[-1]
+
+
+class Sampler:
+    """Base sampler.
+
+    Parameters
+    ----------
+    log_likelihood, log_prior : Callable
+        Functions of a Samples-like object returning ``(n,)`` arrays.
+    dims : int
+        Number of parameters.
+    prior_flow : Flow
+        Trained flow proposal.
+    dtype : Any, optional
+        Sample dtype.
+    parameters : list[str], optional
+        Parameter names.
+    preconditioning_transform : BaseTransform, optional
+        Invertible map applied before MCMC mutation.
+    rng : int | jax.Array | np.random.Generator, optional
+        Seed / PRNG key for the sampler's random stream.
+    """
+
+    def __init__(
+        self,
+        log_likelihood: Callable,
+        log_prior: Callable,
+        dims: int,
+        prior_flow,
+        dtype: Any = None,
+        parameters: list[str] | None = None,
+        preconditioning_transform=None,
+        rng: Any = None,
+    ):
+        self.log_likelihood = log_likelihood
+        self.log_prior = log_prior
+        self.dims = dims
+        self.prior_flow = prior_flow
+        self.dtype = resolve_dtype(dtype)
+        self.parameters = parameters
+        self.preconditioning_transform = preconditioning_transform
+        self.n_likelihood_evaluations = 0
+        self.key = _as_key(rng)
+        self._call_history: dict[str, CallHistory] = {}
+        self._jittable_target: bool | None = None
+
+    # -- PRNG --------------------------------------------------------------
+
+    def next_key(self) -> jax.Array:
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    # -- target evaluation -------------------------------------------------
+
+    def _make_view(self, x) -> _SamplesView:
+        return _SamplesView(x, parameters=self.parameters)
+
+    def evaluate_log_likelihood(self, x) -> jax.Array:
+        """Evaluate the user likelihood on ``(n, d)`` positions."""
+        self.n_likelihood_evaluations += int(x.shape[0])
+        out = self.log_likelihood(self._make_view(x))
+        return jnp.asarray(out).reshape(-1)
+
+    def evaluate_log_prior(self, x) -> jax.Array:
+        out = self.log_prior(self._make_view(x))
+        return jnp.asarray(out).reshape(-1)
+
+    def target_is_jittable(self) -> bool:
+        """True if user log-likelihood/prior trace under jit.
+
+        Determines whether mutation chains run fully on device (fused
+        XLA) or fall back to host evaluation per step.
+        """
+        if self._jittable_target is None:
+            try:
+                x = jnp.zeros((2, self.dims), dtype=self.dtype)
+
+                def probe(x):
+                    view = self._make_view(x)
+                    return (
+                        jnp.asarray(self.log_likelihood(view)),
+                        jnp.asarray(self.log_prior(view)),
+                    )
+
+                jax.eval_shape(probe, x)
+                self._jittable_target = True
+            except Exception as err:  # noqa: BLE001 - any trace failure
+                logger.info(
+                    "Target density is not jit-traceable (%s); sampler "
+                    "will evaluate it on host per step.",
+                    type(err).__name__,
+                )
+                self._jittable_target = False
+        return self._jittable_target
+
+    # -- preconditioning ---------------------------------------------------
+
+    def fit_preconditioning_transform(self, x) -> jax.Array:
+        if self.preconditioning_transform is None:
+            return jnp.asarray(x)
+        return self.preconditioning_transform.fit(x)
+
+    def apply_preconditioning(self, x):
+        if self.preconditioning_transform is None:
+            return jnp.asarray(x)
+        return self.preconditioning_transform.forward(x)[0]
+
+    def invert_preconditioning(self, z):
+        if self.preconditioning_transform is None:
+            return jnp.asarray(z), jnp.zeros(z.shape[0], dtype=z.dtype)
+        return self.preconditioning_transform.inverse(z)
+
+    # -- initial sampling --------------------------------------------------
+
+    def draw_initial_samples(
+        self, n_samples: int, max_attempts: int = 100
+    ) -> Samples:
+        """Draw ``n_samples`` valid samples from the flow proposal.
+
+        Parity with reference ``mcmc.py:49-110``: invalid draws
+        (non-finite log-prior/likelihood) are discarded and redrawn.
+        Each attempt draws the full batch (static shapes per attempt).
+        """
+        collected: list[Samples] = []
+        n_drawn = 0
+        for _ in range(max_attempts):
+            x, log_q = self.prior_flow.sample_and_log_prob(
+                n_samples, key=self.next_key()
+            )
+            if not bool(jnp.isfinite(log_q).all()):
+                raise ValueError(
+                    "Proposal returned non-finite log probabilities. "
+                    "The proposal must be a valid, normalized probability "
+                    "distribution with finite log probabilities."
+                )
+            log_prior = self.evaluate_log_prior(x)
+            log_likelihood = self.evaluate_log_likelihood(x)
+            valid = np.asarray(
+                jnp.isfinite(log_prior) & jnp.isfinite(log_likelihood)
+            )
+            n_valid = int(valid.sum())
+            if n_valid < n_samples:
+                logger.debug(
+                    "Proposal returned %d invalid samples with non-finite "
+                    "log prior or log likelihood; discarding.",
+                    n_samples - n_valid,
+                )
+            if n_valid > 0:
+                batch = Samples(
+                    x=jnp.asarray(x)[valid],
+                    log_q=jnp.asarray(log_q)[valid],
+                    log_prior=log_prior[valid],
+                    log_likelihood=log_likelihood[valid],
+                    dtype=self.dtype,
+                    parameters=self.parameters,
+                )
+                collected.append(batch)
+                n_drawn += n_valid
+            if n_drawn >= n_samples:
+                break
+        else:
+            raise RuntimeError(
+                f"Failed to draw {n_samples} valid samples in "
+                f"{max_attempts} attempts"
+            )
+        samples = (
+            collected[0]
+            if len(collected) == 1
+            else Samples.concatenate(collected)
+        )
+        return samples[:n_samples]
+
+    # -- config ------------------------------------------------------------
+
+    @property
+    def backend_str(self) -> str:
+        return "jax"
+
+    def config_dict(self, include_sample_calls: str | bool = "last") -> dict:
+        config = {
+            "class": type(self).__name__,
+            "dims": self.dims,
+            "parameters": self.parameters,
+            "dtype": str(self.dtype) if self.dtype else None,
+            "log_likelihood": function_id(self.log_likelihood),
+            "log_prior": function_id(self.log_prior),
+            "n_likelihood_evaluations": self.n_likelihood_evaluations,
+        }
+        history = self._call_history.get("sample")
+        if history and include_sample_calls:
+            if include_sample_calls == "last":
+                config["sample_calls"] = {
+                    "args": history.to_dict()[
+                        str(len(history.calls) - 1)
+                    ]["args"],
+                    "kwargs": history.to_dict()[
+                        str(len(history.calls) - 1)
+                    ]["kwargs"],
+                }
+            else:
+                config["sample_calls"] = history.to_dict()
+        return config
+
+    # -- checkpoint protocol (reference samplers/base.py:158-287) ----------
+
+    def build_checkpoint_state(
+        self, samples, iteration: int, meta: dict | None = None
+    ) -> dict:
+        state = {
+            "sampler_class": type(self).__name__,
+            "iteration": iteration,
+            "samples": samples.to_numpy(),
+            "config": self.config_dict(),
+            "parameters": self.parameters,
+            "meta": meta or {},
+            "key": np.asarray(jax.random.key_data(self.key)),
+            "n_likelihood_evaluations": self.n_likelihood_evaluations,
+        }
+        state.update(self._checkpoint_extra_state())
+        return state
+
+    def _checkpoint_extra_state(self) -> dict:
+        return {}
+
+    @staticmethod
+    def serialize_checkpoint_state(state: dict) -> bytes:
+        return pickle.dumps(state)
+
+    def save_checkpoint_to_hdf(
+        self, state: dict, file_path: str, path: str = "checkpoint"
+    ) -> None:
+        from ..io import AspireFile, save_state_bytes
+
+        with AspireFile(file_path, "a") as f:
+            save_state_bytes(
+                f, self.serialize_checkpoint_state(state), path=path
+            )
+
+    def default_file_checkpoint_callback(
+        self, file_path: str | None
+    ) -> Callable[[dict], None]:
+        if file_path is None:
+            raise ValueError(
+                "checkpoint_file_path must be provided to use the default "
+                "file checkpoint callback"
+            )
+
+        def callback(state: dict) -> None:
+            self.save_checkpoint_to_hdf(state, file_path)
+
+        return callback
+
+    @classmethod
+    def load_checkpoint_from_file(
+        cls, file_path: str, path: str = "checkpoint"
+    ) -> dict:
+        import h5py
+
+        from ..io import load_state_bytes
+
+        with h5py.File(file_path, "r") as f:
+            payload = load_state_bytes(f, path=path)
+        return pickle.loads(payload)
+
+    def restore_from_checkpoint(
+        self, source: str | bytes | dict
+    ) -> tuple[Samples, dict]:
+        if isinstance(source, str):
+            state = self.load_checkpoint_from_file(source)
+        elif isinstance(source, bytes):
+            state = pickle.loads(source)
+        elif isinstance(source, dict):
+            state = source
+        else:
+            raise TypeError(
+                f"Cannot restore from object of type {type(source)}"
+            )
+        samples = state["samples"]
+        if state.get("key") is not None:
+            self.key = jax.random.wrap_key_data(jnp.asarray(state["key"]))
+        self.n_likelihood_evaluations = state.get(
+            "n_likelihood_evaluations", self.n_likelihood_evaluations
+        )
+        return samples, state
+
+
+def _as_key(rng: Any) -> jax.Array:
+    """Normalize rng argument to a JAX PRNG key."""
+    if rng is None:
+        return jax.random.key(
+            int(np.random.default_rng().integers(2**31 - 1))
+        )
+    if isinstance(rng, int):
+        return jax.random.key(rng)
+    if isinstance(rng, np.random.Generator):
+        return jax.random.key(int(rng.integers(2**31 - 1)))
+    if isinstance(rng, jax.Array):
+        return rng
+    raise TypeError(f"Cannot interpret rng of type {type(rng)}")

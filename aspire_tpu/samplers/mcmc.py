@@ -1,0 +1,372 @@
+"""Standalone MCMC posterior samplers.
+
+Parity with reference ``samplers/mcmc.py``: samplers that draw initial
+states from the flow proposal and run MCMC on the posterior
+``logL + logPi`` (optionally in a preconditioned space), returning
+chain-shaped :class:`~aspire_tpu.samples.MCMCSamples`.
+
+- :class:`PCNSampler`      — (t)pCN chains (reference ``MiniPCN``
+  mcmc.py:267-348, minipcn internalized);
+- :class:`EnsembleSampler` — affine-invariant ensemble (reference
+  ``Emcee`` mcmc.py:203-264, emcee internalized as the batched
+  red-black stretch move);
+- :class:`ParallelTemperedSampler` — PT ensemble with replica swaps
+  producing :class:`~aspire_tpu.samples.PTMCMCSamples` for the
+  thermodynamic-integration / stepping-stone evidence estimators (the
+  reference only stubs this; mcmc.py:351-368).
+
+Chains run as ``lax.scan`` over batched kernel steps; the whole run is a
+single XLA computation when the user target is jit-traceable.
+"""
+
+from __future__ import annotations
+
+import logging
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..samples import MCMCSamples, PTMCMCSamples
+from ..utils import track_calls
+from . import kernels as K
+from .base import Sampler
+
+logger = logging.getLogger("aspire_tpu")
+
+
+class MCMCSampler(Sampler):
+    """Base for MCMC samplers: posterior log-density + chain persistence."""
+
+    chain_checkpoint_path = "checkpoint"
+    chain_dataset_name = "mcmc_chain"
+
+    def make_log_prob(self) -> Callable:
+        """Posterior log-density in the preconditioned space.
+
+        Parity: reference mcmc.py:112-126 — invert the preconditioning,
+        evaluate logL + logPi, add the inverse-transform Jacobian.
+        """
+        precond = self.preconditioning_transform
+        log_likelihood = self.log_likelihood
+        log_prior = self.log_prior
+        make_view = self._make_view
+
+        def log_prob(z):
+            if precond is None:
+                x = z
+                log_j = jnp.zeros(z.shape[0], dtype=z.dtype)
+            else:
+                x, log_j = precond.inverse(z)
+            view = make_view(x)
+            lp = (
+                jnp.asarray(log_likelihood(view)).reshape(-1)
+                + jnp.asarray(log_prior(view)).reshape(-1)
+                + log_j
+            )
+            return jnp.where(jnp.isnan(lp), -jnp.inf, lp)
+
+        return log_prob
+
+    def _finalize_chain(self, chain_z, burn_in: int, thin: int):
+        """Invert preconditioning over the whole chain and wrap."""
+        n_steps, n_walkers, d = chain_z.shape
+        flat = chain_z.reshape(-1, d)
+        x, _ = self.invert_preconditioning(flat)
+        chain = x.reshape(n_steps, n_walkers, d)
+        samples = MCMCSamples.from_chain(
+            chain,
+            parameters=self.parameters,
+            dtype=self.dtype,
+        )
+        samples.log_prior = self.evaluate_log_prior(samples.x)
+        samples.log_likelihood = self.evaluate_log_likelihood(samples.x)
+        return samples.post_process(burn_in=burn_in, thin=thin)
+
+    # -- chain checkpointing (reference mcmc.py:128-191) --------------------
+
+    def save_chain_checkpoint(
+        self, chain: np.ndarray, iteration: int, file_path: str
+    ) -> None:
+        from ..io import AspireFile
+
+        with AspireFile(file_path, "a") as f:
+            grp = f.require_group(self.chain_checkpoint_path)
+            if self.chain_dataset_name in grp:
+                del grp[self.chain_dataset_name]
+            ds = grp.create_dataset(
+                self.chain_dataset_name, data=np.asarray(chain)
+            )
+            ds.attrs["iteration"] = iteration
+            ds.attrs["shape"] = chain.shape
+
+    def load_chain_checkpoint(self, file_path: str):
+        import h5py
+
+        with h5py.File(file_path, "r") as f:
+            ds = f[self.chain_checkpoint_path][self.chain_dataset_name]
+            return np.asarray(ds[()]), int(ds.attrs["iteration"])
+
+
+class PCNSampler(MCMCSampler):
+    """(t)pCN MCMC on the posterior (minipcn parity)."""
+
+    @track_calls
+    def sample(
+        self,
+        n_samples: int,
+        n_steps: int | None = None,
+        step_fn: str = "tpcn",
+        target_acceptance_rate: float = 0.234,
+        nu: float = 5.0,
+        adaptation_rate: float = 0.1,
+        initial_step_size: float = 0.5,
+        burn_in: int = 0,
+        thin: int = 1,
+        **kwargs,
+    ) -> MCMCSamples:
+        n_steps = n_steps or 5 * self.dims
+        init = self.draw_initial_samples(n_samples)
+        z = self.fit_preconditioning_transform(init.x)
+        log_prob_fn = self.make_log_prob()
+        ref = K.fit_gaussian_reference(z)
+        if step_fn == "pcn":
+            step = partial(
+                K.pcn_step,
+                log_prob_fn=log_prob_fn,
+                ref=ref,
+                target_acceptance=target_acceptance_rate,
+                adaptation_rate=adaptation_rate,
+            )
+        elif step_fn == "tpcn":
+            step = partial(
+                K.tpcn_step,
+                log_prob_fn=log_prob_fn,
+                ref=ref,
+                nu=nu,
+                target_acceptance=target_acceptance_rate,
+                adaptation_rate=adaptation_rate,
+            )
+        else:
+            raise ValueError(f"Unknown step function: {step_fn}")
+
+        state = K.ChainState(
+            x=z,
+            log_prob=log_prob_fn(z),
+            key=self.next_key(),
+            step_size=jnp.asarray(initial_step_size, dtype=z.dtype),
+            n_accept=jnp.zeros(z.shape[0], dtype=z.dtype),
+        )
+        if self.target_is_jittable():
+            run = jax.jit(
+                lambda s: K.run_chain(step, s, n_steps, store_chain=True)
+            )
+            final, chain = run(state)
+        else:
+            chain_list = []
+            final = state
+            for _ in range(n_steps):
+                final = step(final)
+                chain_list.append(final.x)
+            chain = jnp.stack(chain_list)
+        self.n_likelihood_evaluations += n_steps * z.shape[0]
+        acceptance = float(jnp.mean(final.n_accept / n_steps))
+        logger.info("Mean acceptance rate: %.3f", acceptance)
+        samples = self._finalize_chain(chain, burn_in, thin)
+        samples.acceptance_rate = acceptance
+        return samples
+
+
+class EnsembleSampler(MCMCSampler):
+    """Affine-invariant ensemble MCMC (emcee parity)."""
+
+    @track_calls
+    def sample(
+        self,
+        n_samples: int,
+        n_steps: int = 100,
+        a: float = 2.0,
+        burn_in: int = 0,
+        thin: int = 1,
+        **kwargs,
+    ) -> MCMCSamples:
+        init = self.draw_initial_samples(n_samples)
+        z = self.fit_preconditioning_transform(init.x)
+        log_prob_fn = self.make_log_prob()
+        step = partial(K.stretch_step, log_prob_fn=log_prob_fn, a=a)
+        state = K.ChainState(
+            x=z,
+            log_prob=log_prob_fn(z),
+            key=self.next_key(),
+            step_size=jnp.asarray(1.0, dtype=z.dtype),
+            n_accept=jnp.zeros(z.shape[0], dtype=z.dtype),
+        )
+        if self.target_is_jittable():
+            run = jax.jit(
+                lambda s: K.run_chain(step, s, n_steps, store_chain=True)
+            )
+            final, chain = run(state)
+        else:
+            chain_list = []
+            final = state
+            for _ in range(n_steps):
+                final = step(final)
+                chain_list.append(final.x)
+            chain = jnp.stack(chain_list)
+        self.n_likelihood_evaluations += n_steps * z.shape[0]
+        acceptance = float(jnp.mean(final.n_accept / n_steps))
+        logger.info("Mean acceptance rate: %.3f", acceptance)
+        samples = self._finalize_chain(chain, burn_in, thin)
+        samples.acceptance_rate = acceptance
+        samples.compute_autocorrelation_time()
+        return samples
+
+
+class ParallelTemperedSampler(MCMCSampler):
+    """Parallel-tempered MCMC with replica-exchange swaps.
+
+    Runs one stretch-move ensemble per inverse temperature beta_t on the
+    tempered posterior ``beta * logL + logPi`` (prior kept cold, the
+    standard PT convention for evidence estimation), with periodic
+    nearest-neighbour swaps. Returns :class:`PTMCMCSamples` whose
+    ``log_evidence_thermodynamic_integration`` / stepping-stone methods
+    estimate logZ. All temperatures advance in one batched computation
+    (temperature is just a leading axis on device).
+    """
+
+    @track_calls
+    def sample(
+        self,
+        n_samples: int,
+        n_steps: int = 100,
+        n_temperatures: int = 8,
+        betas: np.ndarray | None = None,
+        swap_every: int = 1,
+        a: float = 2.0,
+        burn_in: int = 0,
+        thin: int = 1,
+        **kwargs,
+    ) -> PTMCMCSamples:
+        if betas is None:
+            # Geometric ladder beta_t = (1/2)^t, hottest forced to 0 for
+            # the stepping-stone estimator.
+            betas = np.concatenate(
+                [0.5 ** np.arange(n_temperatures - 1), [0.0]]
+            )
+        betas = np.sort(np.asarray(betas, dtype=float))[::-1].copy()
+        n_temps = len(betas)
+        betas_arr = jnp.asarray(betas)
+
+        init = self.draw_initial_samples(n_samples * n_temps)
+        z0 = self.fit_preconditioning_transform(init.x)
+        z0 = z0.reshape(n_temps, n_samples, self.dims)
+
+        precond = self.preconditioning_transform
+        log_likelihood = self.log_likelihood
+        log_prior = self.log_prior
+        make_view = self._make_view
+
+        def logl_logp(z_flat):
+            if precond is None:
+                x = z_flat
+                log_j = jnp.zeros(z_flat.shape[0], dtype=z_flat.dtype)
+            else:
+                x, log_j = precond.inverse(z_flat)
+            view = make_view(x)
+            log_l = jnp.asarray(log_likelihood(view)).reshape(-1)
+            log_p = jnp.asarray(log_prior(view)).reshape(-1) + log_j
+            return log_l, log_p
+
+        def tempered_log_prob_all(z):
+            """z: (T, n, d) -> (T, n) tempered log-density."""
+            flat = z.reshape(-1, self.dims)
+            log_l, log_p = logl_logp(flat)
+            log_l = log_l.reshape(n_temps, n_samples)
+            log_p = log_p.reshape(n_temps, n_samples)
+            lp = betas_arr[:, None] * log_l + log_p
+            return jnp.where(jnp.isnan(lp), -jnp.inf, lp), log_l, log_p
+
+        def one_round(carry, _):
+            z, key = carry
+            # Stretch update per temperature (vmapped over temperatures).
+            lp, _, _ = tempered_log_prob_all(z)
+            key, *step_keys = jax.random.split(key, n_temps + 1)
+
+            def per_temp(zt, lpt, kt, bt):
+                def lp_fn(x):
+                    flat_l, flat_p = logl_logp(x)
+                    out = bt * flat_l + flat_p
+                    return jnp.where(jnp.isnan(out), -jnp.inf, out)
+
+                st = K.ChainState(
+                    x=zt,
+                    log_prob=lpt,
+                    key=kt,
+                    step_size=jnp.asarray(1.0, dtype=zt.dtype),
+                    n_accept=jnp.zeros(zt.shape[0], dtype=zt.dtype),
+                )
+                for _ in range(swap_every):
+                    st = K.stretch_step(st, lp_fn, a=a)
+                return st.x
+
+            z = jnp.stack(
+                [
+                    per_temp(z[t], lp[t], step_keys[t], betas_arr[t])
+                    for t in range(n_temps)
+                ]
+            )
+            # Replica-exchange swaps between adjacent temperatures.
+            _, log_l, _ = tempered_log_prob_all(z)
+            key, swap_key = jax.random.split(key)
+            u = jnp.log(
+                jax.random.uniform(swap_key, (n_temps - 1, n_samples))
+            )
+            for t in range(n_temps - 1):
+                d_beta = betas_arr[t] - betas_arr[t + 1]
+                log_alpha = -d_beta * (log_l[t] - log_l[t + 1])
+                swap = u[t] < log_alpha
+                zt = jnp.where(swap[:, None], z[t + 1], z[t])
+                zt1 = jnp.where(swap[:, None], z[t], z[t + 1])
+                z = z.at[t].set(zt).at[t + 1].set(zt1)
+                log_lt = jnp.where(swap, log_l[t + 1], log_l[t])
+                log_lt1 = jnp.where(swap, log_l[t], log_l[t + 1])
+                log_l = log_l.at[t].set(log_lt).at[t + 1].set(log_lt1)
+            return (z, key), z
+
+        n_rounds = n_steps // swap_every
+        if self.target_is_jittable():
+            scan = jax.jit(
+                lambda z, key: jax.lax.scan(
+                    one_round, (z, key), None, length=n_rounds
+                )
+            )
+            (_, _), chain = scan(z0, self.next_key())
+        else:
+            carry = (z0, self.next_key())
+            outs = []
+            for _ in range(n_rounds):
+                carry, z_out = one_round(carry, None)
+                outs.append(z_out)
+            chain = jnp.stack(outs)
+        self.n_likelihood_evaluations += (
+            n_rounds * (swap_every + 1) * n_temps * n_samples
+        )
+
+        # chain: (n_rounds, T, n, d) -> (T, n_rounds, n, d)
+        chain = jnp.moveaxis(chain, 1, 0)
+        flat = chain.reshape(-1, self.dims)
+        x, _ = self.invert_preconditioning(flat)
+        samples = PTMCMCSamples(
+            x=x,
+            chain_shape=(n_temps, n_rounds, n_samples),
+            parameters=self.parameters,
+            dtype=self.dtype,
+            betas=betas,
+        )
+        samples.log_prior = self.evaluate_log_prior(samples.x)
+        samples.log_likelihood = self.evaluate_log_likelihood(samples.x)
+        samples.burn_in = burn_in
+        samples.thin = thin
+        return samples

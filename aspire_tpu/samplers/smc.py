@@ -1,0 +1,793 @@
+"""Adaptive-tempered Sequential Monte Carlo.
+
+TPU-native re-design of the reference SMC stack (``samplers/smc/base.py``,
+``smc/minipcn.py``, ``smc/emcee.py``, ``smc/blackjax.py``):
+
+- the temperature ladder is orchestrated on host, but every heavy step is
+  a jitted, device-resident computation over the full ``(n, d)`` particle
+  array: beta bisection (``lax.while_loop`` on scalars derived from one
+  ``(n,)`` delta vector), evidence-ratio + variance, resampling
+  (systematic, on-device), and mutation (``lax.scan`` chains of batched
+  kernel steps);
+- mutation kernels come from :mod:`.kernels` (tpcn/pcn default —
+  minipcn parity; stretch — emcee parity; rwmh/mala/hmc — blackjax
+  parity);
+- non-jittable user targets degrade gracefully to host evaluation per
+  mutation step (reference behaviour), keeping everything else on device.
+
+Algorithm parity is with reference smc/base.py:123-213 (bisection with
+target-efficiency ramp, min/max beta steps, ``BetaScheduleError``),
+215-488 (main loop), 507-519 (tempered log-density with NaN guard),
+521-562 (checkpoint state incl. history + RNG).
+"""
+
+from __future__ import annotations
+
+import copy
+import logging
+import math
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..history import SMCHistory
+from ..ops.resampling import get_resampler
+from ..ops.special import effective_sample_size
+from ..samples import Samples, SMCSamples
+from ..utils import track_calls
+from .base import Sampler
+from . import kernels as K
+
+logger = logging.getLogger("aspire_tpu")
+
+DEFAULT_BETA_TOLERANCE = 1e-8
+
+
+class BetaScheduleError(RuntimeError):
+    """Raised when the adaptive beta ladder stalls (reference smc/base.py:26)."""
+
+
+# ---------------------------------------------------------------------------
+# Jitted numerical cores
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def _bisect_beta(delta, beta_prev, target_eff, tol):
+    """On-device bisection for the next inverse temperature.
+
+    ``delta = logL + logPi - log_q``; the incremental log-weights at trial
+    beta are ``(beta - beta_prev) * delta`` (constant shifts cancel in the
+    ESS). Parity: reference smc/base.py:160-186, but the entire bisection
+    runs in one ``lax.while_loop`` on device — no host round-trip per
+    probe.
+    """
+    n = delta.shape[0]
+
+    def eff(beta):
+        lw = (beta - beta_prev) * delta
+        return effective_sample_size(lw) / n
+
+    eff_at_one = eff(1.0)
+    beta_min0 = jnp.where(eff_at_one >= target_eff, 1.0, beta_prev)
+    beta_max0 = jnp.asarray(1.0, dtype=delta.dtype)
+
+    def cond(carry):
+        beta_min, beta_max = carry
+        return beta_max - beta_min > tol
+
+    def body(carry):
+        beta_min, beta_max = carry
+        beta_try = 0.5 * (beta_min + beta_max)
+        ok = eff(beta_try) >= target_eff
+        return (
+            jnp.where(ok, beta_try, beta_min),
+            jnp.where(ok, beta_max, beta_try),
+        )
+
+    beta_min, _ = jax.lax.while_loop(cond, body, (beta_min0, beta_max0))
+    return beta_min
+
+
+@jax.jit
+def _evidence_ratio_and_var(delta, beta_prev, beta):
+    """Per-step logZ ratio + delta-method variance (samples.py:1226-1242)."""
+    log_w = (beta - beta_prev) * delta
+    n = log_w.shape[0]
+    m = jnp.max(log_w)
+    u = jnp.exp(log_w - m)
+    mean_u = jnp.mean(u)
+    ratio = m + jnp.log(mean_u)
+    var = jnp.var(u) / (n * mean_u**2)
+    return ratio, var
+
+
+@jax.jit
+def _ess_at(delta, beta_prev, beta):
+    return effective_sample_size((beta - beta_prev) * delta)
+
+
+# ---------------------------------------------------------------------------
+# SMC driver
+# ---------------------------------------------------------------------------
+
+
+class SMCSampler(Sampler):
+    """Base adaptive-tempered SMC sampler; subclasses provide ``mutate``."""
+
+    default_sampler_kwargs: dict = {}
+
+    def __init__(self, *args, resampling_method: str = "systematic", **kwargs):
+        super().__init__(*args, **kwargs)
+        self.resampling_method = resampling_method
+        self.history = SMCHistory()
+        self.sampler_kwargs: dict = {}
+        self._adaptive_target_efficiency = False
+        self._mutate_cache: dict = {}
+
+    # -- target efficiency schedule (reference smc/base.py:80-121) ---------
+
+    @property
+    def target_efficiency(self):
+        return self._target_efficiency
+
+    @target_efficiency.setter
+    def target_efficiency(self, value):
+        if isinstance(value, float):
+            if not (0 < value < 1):
+                raise ValueError("target_efficiency must be in (0, 1)")
+            self._target_efficiency = value
+            self._adaptive_target_efficiency = False
+        elif len(value) != 2:
+            raise ValueError(
+                "target_efficiency must be a float or tuple of two floats"
+            )
+        else:
+            value = tuple(map(float, value))
+            if not (0 < value[0] < value[1] < 1):
+                raise ValueError(
+                    "target_efficiency tuple must be in (0, 1) and "
+                    "increasing"
+                )
+            self._target_efficiency = value
+            self._adaptive_target_efficiency = True
+
+    def current_target_efficiency(self, beta: float) -> float:
+        if self._adaptive_target_efficiency:
+            lo, hi = self._target_efficiency
+            return lo + (hi - lo) * (beta**self.target_efficiency_rate)
+        return self._target_efficiency
+
+    # -- beta schedule ------------------------------------------------------
+
+    def determine_beta(
+        self,
+        delta: jax.Array,
+        beta: float,
+        beta_step: float,
+        min_beta_step: float,
+        max_beta_step: float = 1.0,
+        beta_tolerance: float = DEFAULT_BETA_TOLERANCE,
+    ) -> tuple[float, float]:
+        """Next beta; parity with reference smc/base.py:123-213."""
+        if not self.adaptive:
+            beta = min(beta + beta_step, 1.0)
+            return beta, min_beta_step
+
+        beta_prev = beta
+        target_eff = self.current_target_efficiency(beta_prev)
+        beta_star = float(
+            _bisect_beta(delta, beta_prev, target_eff, beta_tolerance)
+        )
+        if beta_star <= beta_prev + beta_tolerance and beta_prev < 1.0:
+            logger.warning(
+                "Adaptive beta search could not find a beta above %.6g "
+                "that satisfies the target efficiency %.3f within "
+                "tolerance %.1e; beta may remain unchanged.",
+                beta_prev,
+                target_eff,
+                beta_tolerance,
+            )
+        if self.adaptive_min_beta_step and beta_star < 1.0:
+            min_beta_step = min_beta_step * (1 - beta_prev) / (1 - beta_star)
+        beta = max(beta_star, beta_prev + min_beta_step)
+        beta = min(beta, beta_prev + max_beta_step, 1.0)
+        if beta == beta_prev:
+            raise BetaScheduleError(
+                f"Beta did not increase from previous value {beta:.6g}. "
+                "Adaptive beta search may have failed to find a suitable "
+                f"beta. Consider adjusting beta_tolerance "
+                f"({beta_tolerance}), min_beta_step ({min_beta_step}) or "
+                f"target_efficiency ({target_eff})."
+            )
+        return beta, min_beta_step
+
+    # -- tempered target ----------------------------------------------------
+
+    def flow_log_prob_params(self):
+        """(pure_fn, params) for the flow density, jit-stable identity."""
+        flow = self.prior_flow
+        arch = flow.architecture
+        data_transform = flow.data_transform
+
+        def flow_log_prob(params, x):
+            from ..flows.bijectors import standard_normal_log_prob
+
+            x_t, log_j = data_transform.forward(x)
+            z, log_det = arch.forward(params, x_t)
+            return standard_normal_log_prob(z) + log_det + log_j
+
+        return flow_log_prob, flow.params
+
+    def make_tempered_log_prob(self) -> Callable:
+        """Tempered log-density in the preconditioned space.
+
+        ``log_prob(flow_params, precond, z, beta)`` with NaN -> -inf
+        (reference smc/base.py:507-519). Jittable when the user target is.
+        """
+        flow_log_prob, _ = self.flow_log_prob_params()
+        log_likelihood = self.log_likelihood
+        log_prior = self.log_prior
+        make_view = self._make_view
+
+        def tempered_log_prob(flow_params, precond, z, beta):
+            if precond is None:
+                x = z
+                log_j = jnp.zeros(z.shape[0], dtype=z.dtype)
+            else:
+                x, log_j = precond.inverse(z)
+            log_q = flow_log_prob(flow_params, x)
+            view = make_view(x)
+            log_pi = jnp.asarray(log_prior(view)).reshape(-1)
+            log_l = jnp.asarray(log_likelihood(view)).reshape(-1)
+            log_p = (1 - beta) * log_q + beta * (log_l + log_pi) + log_j
+            log_p = jnp.where(jnp.isnan(log_p), -jnp.inf, log_p)
+            return log_p.astype(z.dtype)
+
+        return tempered_log_prob
+
+    # -- mutation plumbing ---------------------------------------------------
+
+    def _kernel_step_builder(self, log_prob_fn, ref):
+        """Return (step_fn, init_step_size, needs_grad). Overridden."""
+        raise NotImplementedError
+
+    def mutate(
+        self, samples: SMCSamples, beta: float, n_steps: int | None = None
+    ) -> SMCSamples:
+        """Run the mutation kernel; re-evaluate densities at the end.
+
+        Parity: reference smc/minipcn.py:69-135 (fit preconditioning to
+        particles -> run chain in transformed space -> invert -> refresh
+        log_q / log_prior / log_likelihood).
+        """
+        kwargs = dict(self.default_sampler_kwargs)
+        kwargs.update(self.sampler_kwargs or {})
+        n_steps = int(n_steps or kwargs.get("n_steps") or 5 * self.dims)
+
+        z = self.fit_preconditioning_transform(samples.x)
+        jittable = self.target_is_jittable()
+        flow_params = self.prior_flow.params
+        precond = self.preconditioning_transform
+        beta_arr = jnp.asarray(beta, dtype=z.dtype)
+
+        ref = K.fit_gaussian_reference(z)
+        key = self.next_key()
+
+        if jittable:
+            final_state = self._mutate_on_device(
+                flow_params, precond, z, beta_arr, key, n_steps, kwargs
+            )
+        else:
+            final_state = self._mutate_host(
+                flow_params, precond, z, beta_arr, key, n_steps, kwargs, ref
+            )
+        # Count likelihood evaluations done inside the chain.
+        self.n_likelihood_evaluations += n_steps * z.shape[0]
+
+        acceptance = float(
+            jnp.mean(final_state.n_accept / max(n_steps, 1))
+        )
+        self.history.mcmc_acceptance.append(acceptance)
+
+        x, _ = self.invert_preconditioning(final_state.x)
+        new = SMCSamples(
+            x=x,
+            beta=beta,
+            dtype=self.dtype,
+            parameters=self.parameters,
+        )
+        new.log_q = self.prior_flow.log_prob(new.x)
+        new.log_prior = self.evaluate_log_prior(new.x)
+        new.log_likelihood = self.evaluate_log_likelihood(new.x)
+        if bool(jnp.isnan(new.log_q).any()):
+            raise ValueError("Log proposal contains NaN values")
+        return new
+
+    def _mutate_on_device(
+        self, flow_params, precond, z, beta, key, n_steps, kwargs
+    ):
+        """Fully jitted mutation: one XLA computation for the whole chain."""
+        cache_key = (n_steps, tuple(sorted(kwargs.items())), precond is None)
+        if cache_key not in self._mutate_cache:
+            tempered = self.make_tempered_log_prob()
+            builder = self._kernel_step_builder
+
+            @partial(jax.jit, static_argnames=("n_steps",))
+            def mutate_fn(flow_params, precond, z, beta, key, n_steps):
+                log_prob_fn = lambda zz: tempered(  # noqa: E731
+                    flow_params, precond, zz, beta
+                )
+                ref = K.fit_gaussian_reference(z)
+                step_fn, init_step, needs_grad = builder(log_prob_fn, ref)
+                if needs_grad:
+                    lp, grad = _value_and_grad_batch(log_prob_fn, z)
+                else:
+                    lp, grad = log_prob_fn(z), None
+                state = K.ChainState(
+                    x=z,
+                    log_prob=lp,
+                    key=key,
+                    step_size=jnp.asarray(init_step, dtype=z.dtype),
+                    n_accept=jnp.zeros(z.shape[0], dtype=z.dtype),
+                    grad=grad,
+                )
+                final, _ = K.run_chain(step_fn, state, n_steps)
+                return final
+
+            self._mutate_cache[cache_key] = mutate_fn
+        return self._mutate_cache[cache_key](
+            flow_params, precond, z, beta, key, n_steps=n_steps
+        )
+
+    def _mutate_host(
+        self, flow_params, precond, z, beta, key, n_steps, kwargs, ref
+    ):
+        """Host-loop mutation for non-jittable user targets."""
+        tempered = self.make_tempered_log_prob()
+        log_prob_fn = lambda zz: tempered(  # noqa: E731
+            flow_params, precond, zz, beta
+        )
+        step_fn, init_step, needs_grad = self._kernel_step_builder(
+            log_prob_fn, ref
+        )
+        if needs_grad:
+            raise ValueError(
+                "Gradient-based mutation kernels require a jit-traceable "
+                "(differentiable) log-likelihood/log-prior."
+            )
+        state = K.ChainState(
+            x=z,
+            log_prob=log_prob_fn(z),
+            key=key,
+            step_size=jnp.asarray(init_step, dtype=z.dtype),
+            n_accept=jnp.zeros(z.shape[0], dtype=z.dtype),
+            grad=None,
+        )
+        for _ in range(n_steps):
+            state = step_fn(state)
+        return state
+
+    # -- main loop (reference smc/base.py:215-488) --------------------------
+
+    @track_calls
+    def sample(
+        self,
+        n_samples: int,
+        n_steps: int | None = None,
+        adaptive: bool = True,
+        min_beta_step: float | None = None,
+        max_beta_step: float | None = None,
+        max_n_steps: int | None = None,
+        target_efficiency: float | tuple = 0.5,
+        target_efficiency_rate: float = 1.0,
+        n_final_samples: int | None = None,
+        sampler_kwargs: dict | None = None,
+        checkpoint_callback: Callable[[dict], None] | None = None,
+        checkpoint_every: int | None = None,
+        checkpoint_file_path: str | None = None,
+        resume_from: str | bytes | dict | None = None,
+        store_sample_history: bool = True,
+        beta_tolerance: float = DEFAULT_BETA_TOLERANCE,
+    ) -> Samples:
+        """Run adaptive-tempered SMC; returns weighted posterior Samples."""
+        self.sampler_kwargs = dict(self.default_sampler_kwargs)
+        self.sampler_kwargs.update(sampler_kwargs or {})
+        n_final_steps = self.sampler_kwargs.pop("n_final_steps", None)
+
+        resumed = resume_from is not None
+        if resumed:
+            printable = (
+                resume_from
+                if isinstance(resume_from, str)
+                else "checkpoint data"
+            )
+            logger.info("Resuming SMC sampling from checkpoint: %s", printable)
+            samples, beta, iterations = self.restore_smc_checkpoint(
+                resume_from
+            )
+            logger.info(
+                "Resumed SMC sampling at iteration %d with beta=%.4f",
+                iterations,
+                beta,
+            )
+        else:
+            init = self.draw_initial_samples(n_samples)
+            samples = SMCSamples.from_samples(init, beta=0.0, dtype=self.dtype)
+            beta = 0.0
+            iterations = 0
+            self.history = SMCHistory()
+
+        if store_sample_history:
+            self.history.sample_history.append(samples.to_numpy())
+
+        for name in ("log_q", "log_prior", "log_likelihood"):
+            if bool(jnp.isnan(getattr(samples, name)).any()):
+                raise ValueError(
+                    f"{name.replace('_', ' ').capitalize()} contains NaN "
+                    "values"
+                )
+
+        self.target_efficiency = target_efficiency
+        self.target_efficiency_rate = target_efficiency_rate
+
+        if n_steps is not None:
+            beta_step = 1 / n_steps
+        elif not adaptive:
+            raise ValueError("Either n_steps or adaptive=True must be set")
+        else:
+            beta_step = math.nan
+        self.adaptive = adaptive
+
+        if min_beta_step is None:
+            if max_n_steps is None:
+                min_beta_step = 0.0
+                self.adaptive_min_beta_step = False
+            else:
+                min_beta_step = 1 / max_n_steps
+                self.adaptive_min_beta_step = True
+        else:
+            self.adaptive_min_beta_step = False
+
+        if max_beta_step is not None:
+            if max_beta_step <= 0 or max_beta_step >= 1:
+                raise ValueError("max_beta_step must be in (0, 1)")
+        else:
+            max_beta_step = 1.0
+
+        if checkpoint_callback is None and checkpoint_every is not None:
+            checkpoint_callback = self.default_file_checkpoint_callback(
+                checkpoint_file_path
+            )
+        if checkpoint_callback is not None and checkpoint_every is None:
+            checkpoint_every = 1
+
+        run_smc_loop = True
+        if resumed:
+            last_beta = self.history.beta[-1] if self.history.beta else beta
+            if last_beta >= 1.0:
+                run_smc_loop = False
+                logger.info(
+                    "Checkpoint beta %.4f indicates SMC loop already "
+                    "completed; skipping to final mutation steps",
+                    last_beta,
+                )
+
+        def maybe_checkpoint(force: bool = False):
+            if checkpoint_callback is None:
+                return
+            should = force or (
+                checkpoint_every is not None
+                and checkpoint_every > 0
+                and iterations % checkpoint_every == 0
+            )
+            if should:
+                state = self.build_checkpoint_state(
+                    samples, iterations, meta={"beta": beta}
+                )
+                checkpoint_callback(state)
+
+        if run_smc_loop:
+            while True:
+                iterations += 1
+                delta = (
+                    samples.log_likelihood
+                    + samples.log_prior
+                    - samples.log_q
+                )
+                beta, min_beta_step = self.determine_beta(
+                    delta,
+                    beta,
+                    beta_step,
+                    min_beta_step,
+                    max_beta_step=max_beta_step,
+                    beta_tolerance=beta_tolerance,
+                )
+                self.history.eff_target.append(
+                    float(self.current_target_efficiency(beta))
+                )
+                logger.info("it %d - beta: %s", iterations, beta)
+                self.history.beta.append(float(beta))
+
+                beta_prev = samples.beta
+                ess = float(_ess_at(delta, beta_prev, beta))
+                eff = ess / len(samples)
+                if eff < 0.1:
+                    logger.warning(
+                        "it %d - Low sample efficiency: %.2f",
+                        iterations,
+                        eff,
+                    )
+                self.history.ess.append(ess)
+                logger.info(
+                    "it %d - ESS: %.1f (%.2f efficiency)",
+                    iterations,
+                    ess,
+                    eff,
+                )
+                self.history.ess_target.append(
+                    float(_ess_at(delta, beta_prev, 1.0))
+                )
+
+                ratio, var = _evidence_ratio_and_var(delta, beta_prev, beta)
+                ratio, var = float(ratio), float(var)
+                self.history.log_norm_ratio.append(ratio)
+                self.history.log_norm_ratio_var.append(var)
+                logger.info(
+                    "it %d - Log evidence ratio: %.2f +/- %.2f",
+                    iterations,
+                    ratio,
+                    math.sqrt(max(var, 0.0)),
+                )
+
+                samples = samples.resample(
+                    beta,
+                    key=self.next_key(),
+                    method=self.resampling_method,
+                )
+                samples = self.mutate(samples, beta)
+                if store_sample_history:
+                    self.history.sample_history.append(samples.to_numpy())
+                maybe_checkpoint()
+                if beta == 1.0 or (
+                    max_n_steps is not None and iterations >= max_n_steps
+                ):
+                    break
+
+        if n_final_samples is not None and len(samples) != n_final_samples:
+            logger.info("Generating %d final samples", n_final_samples)
+            for name in ("log_likelihood", "log_prior", "log_q"):
+                if not bool(jnp.isfinite(getattr(samples, name)).all()):
+                    logger.warning(
+                        "Final samples contain non-finite %s values", name
+                    )
+            final = samples.resample(
+                1.0,
+                n_samples=n_final_samples,
+                key=self.next_key(),
+                method=self.resampling_method,
+            )
+            samples = self.mutate(final, 1.0, n_steps=n_final_steps)
+
+        samples.log_evidence = float(np.sum(self.history.log_norm_ratio))
+        samples.log_evidence_error = float(
+            np.sqrt(np.sum(self.history.log_norm_ratio_var))
+        )
+        maybe_checkpoint(force=True)
+
+        final_samples = samples.to_standard_samples()
+        logger.info(
+            "Log evidence: %.2f +/- %.2f",
+            final_samples.log_evidence,
+            final_samples.log_evidence_error,
+        )
+        return final_samples
+
+    # -- config / checkpoint -------------------------------------------------
+
+    def config_dict(self, include_sample_calls: str | bool = "last") -> dict:
+        config = super().config_dict(include_sample_calls)
+        if "sample_calls" in config:
+            kwargs = config["sample_calls"].get("kwargs")
+            if isinstance(kwargs, dict):
+                kwargs.pop("resume_from", None)
+            else:
+                for call in config["sample_calls"].values():
+                    if isinstance(call, dict):
+                        call.get("kwargs", {}).pop("resume_from", None)
+        config["resampling_method"] = self.resampling_method
+        return config
+
+    def _checkpoint_extra_state(self) -> dict:
+        return {
+            "history": copy.deepcopy(self.history),
+            "sampler_kwargs": getattr(self, "sampler_kwargs", None),
+        }
+
+    def restore_smc_checkpoint(
+        self, source
+    ) -> tuple[SMCSamples, float, int]:
+        samples, state = self.restore_from_checkpoint(source)
+        meta = state.get("meta", {}) if isinstance(state, dict) else {}
+        beta = meta.get("beta") if isinstance(meta, dict) else None
+        if beta is None:
+            beta = state.get("beta", 0.0)
+        iteration = state.get("iteration", 0)
+        self.history = state.get("history", SMCHistory())
+        if state.get("sampler_kwargs"):
+            self.sampler_kwargs = state["sampler_kwargs"]
+        samples = SMCSamples.from_samples(
+            samples, beta=beta, dtype=self.dtype
+        )
+        return samples, beta, iteration
+
+
+def _value_and_grad_batch(log_prob_fn, x):
+    """Batched value+gradient of a summed log-density."""
+
+    def total(x):
+        lp = log_prob_fn(x)
+        return jnp.sum(lp), lp
+
+    (_, lp), grad = jax.value_and_grad(total, has_aux=True)(x)
+    return lp, grad
+
+
+# ---------------------------------------------------------------------------
+# Concrete SMC samplers
+# ---------------------------------------------------------------------------
+
+
+class PCNSMC(SMCSampler):
+    """SMC with (t)pCN mutation — the default sampler.
+
+    Parity: reference ``MiniPCNSMC`` (smc/minipcn.py:14-135); defaults
+    n_steps = 5 * dims, target acceptance 0.234, ``step_fn="tpcn"``.
+    """
+
+    @property
+    def default_sampler_kwargs(self):
+        return {
+            "n_steps": 5 * self.dims,
+            "target_acceptance_rate": 0.234,
+            "step_fn": "tpcn",
+            "nu": 5.0,
+            "adaptation_rate": 0.1,
+            "initial_step_size": 0.5,
+        }
+
+    def _kernel_step_builder(self, log_prob_fn, ref):
+        kwargs = dict(self.default_sampler_kwargs)
+        kwargs.update(self.sampler_kwargs or {})
+        step_name = kwargs.get("step_fn", "tpcn")
+        target = kwargs.get("target_acceptance_rate", 0.234)
+        rate = kwargs.get("adaptation_rate", 0.1)
+        init_step = kwargs.get("initial_step_size", 0.5)
+        if step_name == "pcn":
+            step = partial(
+                K.pcn_step,
+                log_prob_fn=log_prob_fn,
+                ref=ref,
+                target_acceptance=target,
+                adaptation_rate=rate,
+            )
+        elif step_name == "tpcn":
+            step = partial(
+                K.tpcn_step,
+                log_prob_fn=log_prob_fn,
+                ref=ref,
+                nu=kwargs.get("nu", 5.0),
+                target_acceptance=target,
+                adaptation_rate=rate,
+            )
+        else:
+            raise ValueError(f"Unknown pCN step function: {step_name}")
+        return step, init_step, False
+
+
+class EnsembleSMC(SMCSampler):
+    """SMC with affine-invariant ensemble (stretch) mutation.
+
+    Parity: reference ``EmceeSMC`` (smc/emcee.py:13-89), with the serial
+    emcee library replaced by the batched red-black stretch move.
+    """
+
+    @property
+    def default_sampler_kwargs(self):
+        return {"n_steps": 5 * self.dims, "a": 2.0}
+
+    def _kernel_step_builder(self, log_prob_fn, ref):
+        kwargs = dict(self.default_sampler_kwargs)
+        kwargs.update(self.sampler_kwargs or {})
+        step = partial(
+            K.stretch_step,
+            log_prob_fn=log_prob_fn,
+            a=kwargs.get("a", 2.0),
+        )
+        return step, 1.0, False
+
+
+class GradientSMC(SMCSampler):
+    """SMC with gradient-based mutation: RWMH, MALA, or HMC.
+
+    Parity: reference ``BlackJAXSMC`` (smc/blackjax.py:13-358) with
+    native kernels. ``kernel="hmc"`` with ``jitter_trajectory=True`` is
+    the TPU-shaped NUTS surrogate (static trajectory bound).
+    """
+
+    kernel_name = "hmc"
+
+    @property
+    def default_sampler_kwargs(self):
+        return {
+            "n_steps": 5 * self.dims,
+            "kernel": self.kernel_name,
+            "step_size": 0.1,
+            "n_leapfrog": 10,
+            "adaptation_rate": 0.05,
+        }
+
+    def _kernel_step_builder(self, log_prob_fn, ref):
+        kwargs = dict(self.default_sampler_kwargs)
+        kwargs.update(self.sampler_kwargs or {})
+        kernel = kwargs.get("kernel", self.kernel_name)
+        init_step = kwargs.get("step_size", 0.1)
+        rate = kwargs.get("adaptation_rate", 0.05)
+        if kernel == "rwmh":
+            step = partial(
+                K.rwmh_step,
+                log_prob_fn=log_prob_fn,
+                ref=ref,
+                target_acceptance=kwargs.get(
+                    "target_acceptance_rate", 0.234
+                ),
+                adaptation_rate=rate,
+            )
+            return step, init_step, False
+
+        def lp_and_grad(x):
+            return _value_and_grad_batch(log_prob_fn, x)
+
+        if kernel == "mala":
+            step = partial(
+                K.mala_step,
+                log_prob_and_grad_fn=lp_and_grad,
+                target_acceptance=kwargs.get(
+                    "target_acceptance_rate", 0.574
+                ),
+                adaptation_rate=rate,
+            )
+            return step, init_step, True
+        if kernel in ("hmc", "nuts"):
+            step = partial(
+                K.hmc_step,
+                log_prob_and_grad_fn=lp_and_grad,
+                n_leapfrog=kwargs.get("n_leapfrog", 10),
+                target_acceptance=kwargs.get(
+                    "target_acceptance_rate", 0.651
+                ),
+                adaptation_rate=rate,
+                jitter_trajectory=(kernel == "nuts")
+                or kwargs.get("jitter_trajectory", False),
+            )
+            return step, init_step, True
+        raise ValueError(f"Unknown gradient kernel: {kernel}")
+
+
+class RWMHSMC(GradientSMC):
+    kernel_name = "rwmh"
+
+
+class MALASMC(GradientSMC):
+    kernel_name = "mala"
+
+
+class HMCSMC(GradientSMC):
+    kernel_name = "hmc"
+
+
+class NUTSSMC(GradientSMC):
+    kernel_name = "nuts"
