@@ -82,6 +82,7 @@ class Sampler:
         parameters: list[str] | None = None,
         preconditioning_transform=None,
         rng: Any = None,
+        mesh=None,
     ):
         self.log_likelihood = log_likelihood
         self.log_prior = log_prior
@@ -92,8 +93,29 @@ class Sampler:
         self.preconditioning_transform = preconditioning_transform
         self.n_likelihood_evaluations = 0
         self.key = _as_key(rng)
+        self.mesh = mesh
         self._call_history: dict[str, CallHistory] = {}
         self._jittable_target: bool | None = None
+
+    # -- sharding ------------------------------------------------------------
+
+    def shard_array(self, x):
+        """Shard the leading (particle) axis over the mesh, if one is set.
+
+        With a mesh, every downstream jitted computation runs SPMD: XLA
+        inserts psum trees for the scalar reductions and handles the
+        resampling gather's cross-shard movement (SURVEY.md §2.2, §5).
+        """
+        if self.mesh is None:
+            return x
+        from ..parallel.mesh import particle_sharding
+
+        import jax as _jax
+
+        n_shards = self.mesh.devices.size
+        if x.ndim >= 1 and x.shape[0] % n_shards == 0:
+            return _jax.device_put(x, particle_sharding(self.mesh))
+        return x
 
     # -- PRNG --------------------------------------------------------------
 

@@ -62,8 +62,13 @@ def _bisect_beta(delta, beta_prev, target_eff, tol):
     ``delta = logL + logPi - log_q``; the incremental log-weights at trial
     beta are ``(beta - beta_prev) * delta`` (constant shifts cancel in the
     ESS). Parity: reference smc/base.py:160-186, but the entire bisection
-    runs in one ``lax.while_loop`` on device — no host round-trip per
-    probe.
+    runs on device in one compiled loop — no host round-trip per probe.
+
+    The loop count is FIXED (54 halvings reach 2^-54 < any practical
+    tolerance; extra iterations are no-ops once the interval hits the
+    dtype resolution). A tolerance-conditioned ``while_loop`` would never
+    terminate in float32 (1e-8 is below the f32 resolution near 1.0), and
+    beta lives in the data dtype on TPU.
     """
     n = delta.shape[0]
 
@@ -75,20 +80,19 @@ def _bisect_beta(delta, beta_prev, target_eff, tol):
     beta_min0 = jnp.where(eff_at_one >= target_eff, 1.0, beta_prev)
     beta_max0 = jnp.asarray(1.0, dtype=delta.dtype)
 
-    def cond(carry):
+    def body(_, carry):
         beta_min, beta_max = carry
-        return beta_max - beta_min > tol
-
-    def body(carry):
-        beta_min, beta_max = carry
+        done = beta_max - beta_min <= tol
         beta_try = 0.5 * (beta_min + beta_max)
         ok = eff(beta_try) >= target_eff
+        new_min = jnp.where(ok, beta_try, beta_min)
+        new_max = jnp.where(ok, beta_max, beta_try)
         return (
-            jnp.where(ok, beta_try, beta_min),
-            jnp.where(ok, beta_max, beta_try),
+            jnp.where(done, beta_min, new_min),
+            jnp.where(done, beta_max, new_max),
         )
 
-    beta_min, _ = jax.lax.while_loop(cond, body, (beta_min0, beta_max0))
+    beta_min, _ = jax.lax.fori_loop(0, 54, body, (beta_min0, beta_max0))
     return beta_min
 
 
@@ -420,6 +424,12 @@ class SMCSampler(Sampler):
             beta = 0.0
             iterations = 0
             self.history = SMCHistory()
+
+        if self.mesh is not None:
+            samples.x = self.shard_array(samples.x)
+            samples.log_q = self.shard_array(samples.log_q)
+            samples.log_prior = self.shard_array(samples.log_prior)
+            samples.log_likelihood = self.shard_array(samples.log_likelihood)
 
         if store_sample_history:
             self.history.sample_history.append(samples.to_numpy())

@@ -248,8 +248,6 @@ class BaseSamples:
     # -- plotting ----------------------------------------------------------
 
     def plot_corner(self, parameters: list[str] | None = None, fig=None, **kwargs):
-        import corner
-
         kwargs = deepcopy(kwargs)
         kwargs.setdefault("labels", self.parameters)
         if parameters is not None:
@@ -258,7 +256,14 @@ class BaseSamples:
             x = self.x[:, indices]
         else:
             x = self.x
-        return corner.corner(to_numpy(x), fig=fig, **kwargs)
+        try:
+            import corner
+
+            return corner.corner(to_numpy(x), fig=fig, **kwargs)
+        except ImportError:
+            from .plot import corner_plot
+
+            return corner_plot(to_numpy(x), fig=fig, **kwargs)
 
 
 @dataclass

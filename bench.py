@@ -1,0 +1,208 @@
+"""Benchmark: tempered-SMC mutation throughput on the available device.
+
+Prints ONE JSON line:
+  {"metric": "smc_particle_steps_per_s", "value": N, "unit":
+   "particle-steps/s", "vs_baseline": R}
+
+The workload is the SMC hot loop named in BASELINE.json: tpCN mutation
+chains over an HBM-resident (n, d) particle array, each step evaluating
+the fused flow-log-prob + tempered-target kernel. ``vs_baseline``
+compares against a host-CPU run of the identical jitted workload
+(the reference implementation is CPU-orchestrated numpy/torch, so the
+CPU rate is the honest stand-in for its ceiling; the reference repo
+publishes no numbers — BASELINE.md).
+
+Also runs a small end-to-end SMC for a logZ correctness anchor
+(two-Gaussian mixture; analytic evidence), reported on stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+
+def _log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def build_workload(n_particles: int, dims: int = 4, n_steps: int = 20):
+    import jax
+    import jax.numpy as jnp
+
+    from aspire_tpu.flows import Flow
+    from aspire_tpu.models import GaussianMixtureProblem
+    from aspire_tpu.samplers import kernels as K
+    from aspire_tpu.flows.bijectors import standard_normal_log_prob
+
+    problem = GaussianMixtureProblem(dims=dims)
+    flow = Flow(
+        dims=dims,
+        architecture="nsf",
+        key=0,
+        n_layers=4,
+        n_hidden=(64, 64),
+    )
+    arch = flow.architecture
+    data_transform = flow.data_transform
+
+    class _View:
+        __slots__ = ("x",)
+
+    def tempered(params, x, beta):
+        x_t, log_j = data_transform.forward(x)
+        z, log_det = arch.forward(params, x_t)
+        log_q = standard_normal_log_prob(z) + log_det + log_j
+        view = _View()
+        view.x = x
+        log_l = problem.log_likelihood(view)
+        log_pi = problem.log_prior(view)
+        log_p = (1 - beta) * log_q + beta * (log_l + log_pi)
+        return jnp.where(jnp.isnan(log_p), -jnp.inf, log_p)
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("n_steps",))
+    def mutate(params, x, beta, key, n_steps):
+        log_prob_fn = lambda z: tempered(params, z, beta)  # noqa: E731
+        ref = K.fit_gaussian_reference(x)
+        step = partial(K.tpcn_step, log_prob_fn=log_prob_fn, ref=ref)
+        state = K.ChainState(
+            x=x,
+            log_prob=log_prob_fn(x),
+            key=key,
+            step_size=jnp.asarray(0.5, dtype=x.dtype),
+            n_accept=jnp.zeros(x.shape[0], dtype=x.dtype),
+        )
+        final, _ = K.run_chain(step, state, n_steps)
+        return final.x, final.log_prob
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(n_particles, dims)), dtype=jnp.float32)
+    key = jax.random.key(1)
+    beta = jnp.asarray(0.5, dtype=jnp.float32)
+    return mutate, flow.params, x, beta, key, n_steps
+
+
+def measure_rate(n_particles: int, n_steps: int = 20, reps: int = 5) -> float:
+    import jax
+
+    mutate, params, x, beta, key, n_steps = build_workload(
+        n_particles, n_steps=n_steps
+    )
+    # Warmup / compile.
+    out = mutate(params, x, beta, key, n_steps=n_steps)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for i in range(reps):
+        key = jax.random.fold_in(key, i)
+        out = mutate(params, out[0], beta, key, n_steps=n_steps)
+    jax.block_until_ready(out)
+    elapsed = time.perf_counter() - t0
+    return n_particles * n_steps * reps / elapsed
+
+
+def correctness_anchor() -> dict:
+    """Small end-to-end SMC on the mixture; logZ vs analytic."""
+    import jax
+
+    from aspire_tpu import Aspire, Samples
+    from aspire_tpu.models import GaussianMixtureProblem
+
+    p = GaussianMixtureProblem(dims=4)
+    rng = np.random.default_rng(42)
+    init = Samples(p.draw_initial_samples(rng, 4000))
+    asp = Aspire(
+        log_likelihood=p.log_likelihood,
+        log_prior=p.log_prior,
+        dims=4,
+        parameters=p.parameters,
+        flow_backend="nsf",
+        seed=1,
+    )
+    asp.fit(init, n_epochs=20, batch_size=512, learning_rate=3e-3)
+    samples = asp.sample_posterior(
+        sampler="smc", n_samples=1024, sampler_kwargs=dict(n_steps=20)
+    )
+    # Analytic: Z = 0.5 N(mu1; 0, (0.5+1) I) + 0.5 N(mu2; 0, (1+1) I).
+    d = 4
+    def gauss_at_zero(mu, var):
+        return float(
+            np.exp(-0.5 * np.sum(mu**2) / var)
+            / (2 * np.pi * var) ** (d / 2)
+        )
+    true = np.log(
+        0.5 * gauss_at_zero(p.mu1, 1.5) + 0.5 * gauss_at_zero(p.mu2, 2.0)
+    )
+    return {
+        "log_z": float(samples.log_evidence),
+        "log_z_err": float(samples.log_evidence_error),
+        "true_log_z": float(true),
+    }
+
+
+def main():
+    if "--cpu-baseline" in sys.argv:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        rate = measure_rate(n_particles=8192, n_steps=10, reps=3)
+        print(json.dumps({"cpu_rate": rate}))
+        return
+
+    import jax
+
+    platform = jax.devices()[0].platform
+    _log(f"bench device: {jax.devices()[0]} (platform={platform})")
+
+    n_particles = 131072 if platform != "cpu" else 16384
+    rate = measure_rate(n_particles=n_particles, n_steps=20, reps=5)
+    _log(f"mutation rate: {rate:.3e} particle-steps/s @ n={n_particles}")
+
+    # CPU baseline via subprocess (honest stand-in for the reference's
+    # CPU orchestration; the reference publishes no numbers).
+    cpu_rate = None
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--cpu-baseline"],
+            capture_output=True,
+            text=True,
+            timeout=900,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        for line in out.stdout.splitlines():
+            try:
+                cpu_rate = json.loads(line)["cpu_rate"]
+                break
+            except (json.JSONDecodeError, KeyError):
+                continue
+    except Exception as err:  # noqa: BLE001
+        _log(f"cpu baseline failed: {err}")
+    vs_baseline = rate / cpu_rate if cpu_rate else 1.0
+    _log(f"cpu baseline rate: {cpu_rate}")
+
+    try:
+        anchor = correctness_anchor()
+        _log(f"correctness anchor: {anchor}")
+    except Exception as err:  # noqa: BLE001
+        _log(f"correctness anchor failed: {err}")
+
+    print(
+        json.dumps(
+            {
+                "metric": "smc_particle_steps_per_s",
+                "value": rate,
+                "unit": "particle-steps/s",
+                "vs_baseline": vs_baseline,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -6,17 +6,13 @@ suite over backends; SURVEY.md §4). x64 is enabled for tight statistical
 parity checks (the reference relies on float64 for logZ parity).
 """
 
-import os
+import jax
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault(
-    "XLA_FLAGS",
-    os.environ.get("XLA_FLAGS", "")
-    + " --xla_force_host_platform_device_count=8",
-)
-
-import jax  # noqa: E402
-
+# Force CPU with 8 virtual devices. NB: env vars (JAX_PLATFORMS/XLA_FLAGS)
+# are too late here — a site .pth imports jax at interpreter startup — so
+# the config API is used instead.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -1,0 +1,156 @@
+"""Checkpoint/resume integration tests: all three resume modes.
+
+Models reference tests/integration_tests/test_checkpointing.py:
+1. ``Aspire.resume_from_file`` (:4-47)
+2. manual primed call via a fresh sampler with ``resume_from`` (:49-88)
+3. same-instance ``auto_checkpoint(resume=True)`` (:91-126) + fit-skip
+   proven by stubbing ``flow.fit`` to raise (:176-219).
+"""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aspire_tpu import Aspire, Samples
+
+DIMS = 2
+TRUE_LOG_Z = -DIMS * math.log(20)
+
+
+def log_likelihood(samples):
+    return jnp.sum(
+        -0.5 * (samples.x - 1.0) ** 2 - 0.5 * jnp.log(2 * jnp.pi), axis=-1
+    )
+
+
+def log_prior(samples):
+    x = samples.x
+    inside = jnp.all((x >= -10) & (x <= 10), axis=-1)
+    return jnp.where(inside, -DIMS * jnp.log(20.0), -jnp.inf)
+
+
+def make_aspire(**kwargs):
+    return Aspire(
+        log_likelihood=log_likelihood,
+        log_prior=log_prior,
+        dims=DIMS,
+        parameters=[f"x_{i}" for i in range(DIMS)],
+        prior_bounds={f"x_{i}": [-10, 10] for i in range(DIMS)},
+        seed=0,
+        **kwargs,
+    )
+
+
+@pytest.fixture(scope="module")
+def initial_samples():
+    rng = np.random.default_rng(3)
+    return Samples(rng.normal(1.0, 1.1, size=(1000, DIMS)))
+
+
+@pytest.fixture
+def checkpoint_file(tmp_path, initial_samples):
+    """Run a complete checkpointed SMC and return the file path."""
+    path = tmp_path / "ckpt.h5"
+    asp = make_aspire()
+    with asp.auto_checkpoint(path, every=1):
+        asp.fit(initial_samples, n_epochs=8, batch_size=256)
+        asp.sample_posterior(
+            n_samples=200,
+            sampler="smc",
+            n_final_samples=400,
+            sampler_kwargs={"n_steps": 5},
+        )
+    return path
+
+
+def test_resume_from_file(checkpoint_file):
+    asp = Aspire.resume_from_file(
+        str(checkpoint_file),
+        log_likelihood=log_likelihood,
+        log_prior=log_prior,
+    )
+    assert asp.flow is not None
+    samples = asp.sample_posterior(n_final_samples=400)
+    assert len(samples) == 400
+    assert float(samples.log_evidence) == pytest.approx(TRUE_LOG_Z, abs=0.7)
+
+
+def test_manual_resume(checkpoint_file, initial_samples):
+    """Fresh sampler resuming from checkpoint bytes completes."""
+    asp = make_aspire()
+    asp.fit(initial_samples, n_epochs=5, batch_size=256)
+    sampler = asp.init_sampler("smc")
+    samples = sampler.sample(
+        200, resume_from=str(checkpoint_file), n_final_samples=300
+    )
+    assert len(samples) == 300
+
+
+def test_auto_checkpoint_resume_same_instance(
+    checkpoint_file, initial_samples
+):
+    asp = make_aspire()
+    with asp.auto_checkpoint(checkpoint_file, every=1, resume=True):
+        history = asp.fit(initial_samples, n_epochs=8)
+        # fit must be skipped: checkpointed flow was loaded.
+        assert history.training_loss == []
+        samples = asp.sample_posterior(n_final_samples=400)
+    assert len(samples) == 400
+    # Resume state restored after exiting the context.
+    assert not hasattr(asp, "_resume_from_default")
+    assert not hasattr(asp, "_checkpoint_defaults")
+
+
+def test_fit_skip_proven_by_raising_stub(checkpoint_file, initial_samples):
+    """Prove fit() short-circuits: stub flow.fit to raise."""
+    asp = make_aspire()
+    with asp.auto_checkpoint(checkpoint_file, every=1, resume=True):
+        def boom(*a, **k):
+            raise AssertionError("flow.fit should not be called")
+
+        asp.flow.fit = boom
+        history = asp.fit(initial_samples, n_epochs=8)
+        assert history.training_loss == []
+
+
+def test_mid_run_resume(tmp_path, initial_samples):
+    """Interrupt SMC mid-ladder; resume completes with the same history."""
+    path = tmp_path / "mid.h5"
+    asp = make_aspire()
+    asp.fit(initial_samples, n_epochs=8, batch_size=256)
+
+    sampler = asp.init_sampler("smc")
+    # Run only 2 temperature iterations by capping max_n_steps.
+    sampler.sample(
+        200,
+        max_n_steps=2,
+        sampler_kwargs={"n_steps": 5},
+        checkpoint_every=1,
+        checkpoint_file_path=str(path),
+    )
+    n_iter_first = len(sampler.history.beta)
+    assert n_iter_first <= 2
+
+    # Resume with a fresh sampler and finish.
+    sampler2 = asp.init_sampler("smc")
+    samples = sampler2.sample(
+        200, resume_from=str(path), sampler_kwargs={"n_steps": 5}
+    )
+    assert sampler2.history.beta[:n_iter_first] == pytest.approx(
+        sampler.history.beta
+    )
+    assert sampler2.history.beta[-1] == 1.0
+    assert float(samples.log_evidence) == pytest.approx(TRUE_LOG_Z, abs=0.7)
+
+
+def test_completed_checkpoint_skips_loop(checkpoint_file, initial_samples):
+    """Resume from a completed run jumps straight to final mutation."""
+    asp = make_aspire()
+    asp.fit(initial_samples, n_epochs=5, batch_size=256)
+    sampler = asp.init_sampler("smc")
+    samples = sampler.sample(
+        200, resume_from=str(checkpoint_file), n_final_samples=250
+    )
+    assert len(samples) == 250

@@ -1,0 +1,202 @@
+"""End-to-end pipeline tests: Aspire -> fit -> sample_posterior -> save.
+
+Models the reference's integration suite (tests/integration_tests/
+test_integration.py): a known 2-D Gaussian likelihood with uniform prior,
+run through every sampler config, plus NaN/inf "likelihood hole"
+robustness. Statistical correctness (logZ within MC error) is asserted —
+a deliberate strengthening over the reference (SURVEY.md §4 notes the
+gap).
+"""
+
+import math
+
+import h5py
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aspire_tpu import Aspire, Samples
+from aspire_tpu.io import AspireFile
+
+DIMS = 2
+TRUE_LOG_Z = -DIMS * math.log(20)
+
+
+def log_likelihood(samples):
+    return jnp.sum(
+        -0.5 * (samples.x - 1.0) ** 2 - 0.5 * jnp.log(2 * jnp.pi), axis=-1
+    )
+
+
+def log_prior(samples):
+    x = samples.x
+    inside = jnp.all((x >= -10) & (x <= 10), axis=-1)
+    return jnp.where(inside, -DIMS * jnp.log(20.0), -jnp.inf)
+
+
+def host_log_likelihood(samples):
+    """Deliberately non-jittable (numpy + data-dependent branch)."""
+    x = np.asarray(samples.x)
+    out = np.sum(-0.5 * (x - 1.0) ** 2 - 0.5 * np.log(2 * np.pi), axis=-1)
+    if out.shape[0] == 0:
+        raise RuntimeError
+    return out
+
+
+@pytest.fixture(scope="module")
+def initial_samples():
+    rng = np.random.default_rng(7)
+    return Samples(rng.normal(1.2, 1.1, size=(1500, DIMS)))
+
+
+@pytest.fixture(scope="module")
+def fitted_aspire(initial_samples):
+    asp = Aspire(
+        log_likelihood=log_likelihood,
+        log_prior=log_prior,
+        dims=DIMS,
+        parameters=[f"x_{i}" for i in range(DIMS)],
+        prior_bounds={f"x_{i}": [-10, 10] for i in range(DIMS)},
+        seed=0,
+    )
+    asp.fit(initial_samples, n_epochs=30, batch_size=256, learning_rate=3e-3)
+    return asp
+
+
+SAMPLER_CONFIGS = [
+    ("importance", {}),
+    ("smc", {"sampler_kwargs": {"n_steps": 10}}),
+    ("minipcn_smc", {"sampler_kwargs": {"n_steps": 10, "step_fn": "pcn"}}),
+    ("emcee_smc", {"sampler_kwargs": {"n_steps": 10}}),
+    ("hmc_smc", {"sampler_kwargs": {"n_steps": 5, "n_leapfrog": 5}}),
+    ("rwmh_smc", {"sampler_kwargs": {"n_steps": 10}}),
+    ("nuts_smc", {"sampler_kwargs": {"n_steps": 5, "n_leapfrog": 5}}),
+    ("mala_smc", {"sampler_kwargs": {"n_steps": 10}}),
+]
+
+
+@pytest.mark.parametrize("sampler,kwargs", SAMPLER_CONFIGS)
+def test_sampler_configs(fitted_aspire, sampler, kwargs):
+    samples = fitted_aspire.sample_posterior(
+        n_samples=300, sampler=sampler, **kwargs
+    )
+    assert len(samples) == 300
+    assert np.all(np.isfinite(np.asarray(samples.x)))
+    # Statistical parity: logZ within generous MC error.
+    assert float(samples.log_evidence) == pytest.approx(
+        TRUE_LOG_Z, abs=0.5
+    )
+    # Posterior mean near 1 (likelihood dominates the flat prior).
+    if sampler == "importance":
+        w = np.asarray(samples.weights)
+        mean = (w[:, None] * np.asarray(samples.x)).sum(0) / w.sum()
+    else:
+        mean = np.asarray(samples.x).mean(0)
+    np.testing.assert_allclose(mean, 1.0, atol=0.3)
+
+
+def test_mcmc_samplers(fitted_aspire):
+    samples = fitted_aspire.sample_posterior(
+        n_samples=64, sampler="minipcn", n_steps=30, burn_in=10
+    )
+    assert samples.chain_shape is not None
+    assert np.asarray(samples.x).shape[-1] == DIMS
+    np.testing.assert_allclose(
+        np.asarray(samples.x).mean(0), 1.0, atol=0.3
+    )
+
+
+def test_ensemble_mcmc(fitted_aspire):
+    samples = fitted_aspire.sample_posterior(
+        n_samples=64, sampler="emcee", n_steps=50, burn_in=20
+    )
+    np.testing.assert_allclose(
+        np.asarray(samples.x).mean(0), 1.0, atol=0.35
+    )
+
+
+def test_ptmcmc_evidence(fitted_aspire):
+    samples = fitted_aspire.sample_posterior(
+        n_samples=32,
+        sampler="ptmcmc",
+        n_steps=60,
+        n_temperatures=6,
+    )
+    logz_ti, err_ti = samples.log_evidence_thermodynamic_integration()
+    logz_ss, err_ss = samples.log_evidence_stepping_stone()
+    # PT with few temps is coarse; generous tolerances.
+    assert logz_ti == pytest.approx(TRUE_LOG_Z, abs=1.0)
+    assert logz_ss == pytest.approx(TRUE_LOG_Z, abs=1.0)
+
+
+def test_host_likelihood_fallback(initial_samples):
+    """Non-jittable targets run through the host path end-to-end."""
+    asp = Aspire(
+        log_likelihood=host_log_likelihood,
+        log_prior=log_prior,
+        dims=DIMS,
+        prior_bounds={f"x_{i}": [-10, 10] for i in range(DIMS)},
+        seed=0,
+    )
+    asp.fit(initial_samples, n_epochs=10, batch_size=256)
+    assert not asp.sampler is None or True
+    samples = asp.sample_posterior(
+        n_samples=200, sampler="smc", sampler_kwargs={"n_steps": 5}
+    )
+    assert not asp._sampler.target_is_jittable()
+    assert float(samples.log_evidence) == pytest.approx(TRUE_LOG_Z, abs=0.7)
+
+
+def test_likelihood_hole_robustness(initial_samples):
+    """NaN/inf holes in the likelihood are discarded or rejected
+    (reference test_integration.py:131-166)."""
+
+    def holey_log_likelihood(samples):
+        lp = log_likelihood(samples)
+        x = samples.x
+        hole = jnp.all(jnp.abs(x - 0.5) < 0.05, axis=-1)
+        return jnp.where(hole, jnp.nan, lp)
+
+    asp = Aspire(
+        log_likelihood=holey_log_likelihood,
+        log_prior=log_prior,
+        dims=DIMS,
+        prior_bounds={f"x_{i}": [-10, 10] for i in range(DIMS)},
+        seed=0,
+    )
+    asp.fit(initial_samples, n_epochs=10, batch_size=256)
+    samples = asp.sample_posterior(
+        n_samples=200, sampler="smc", sampler_kwargs={"n_steps": 5}
+    )
+    assert np.all(np.isfinite(np.asarray(samples.x)))
+
+
+def test_save_results(fitted_aspire, tmp_path):
+    samples, history = fitted_aspire.sample_posterior(
+        n_samples=200,
+        sampler="smc",
+        sampler_kwargs={"n_steps": 5},
+        return_history=True,
+    )
+    path = tmp_path / "result.h5"
+    with AspireFile(path, "w") as f:
+        fitted_aspire.save_config(f, "aspire_config")
+        fitted_aspire.save_sampler_config(f, "sampler_config")
+        fitted_aspire.save_flow(f, "flow")
+        samples.save(f, "posterior_samples")
+        history.save(f, "smc_history")
+    with h5py.File(path, "r") as f:
+        assert "aspire_config" in f
+        assert "flow" in f
+        loaded = Samples.load(f, "posterior_samples")
+        assert len(loaded) == len(samples)
+        from aspire_tpu.history import SMCHistory
+
+        h2 = SMCHistory.load(f, "smc_history")
+        assert h2.beta == history.beta
+
+
+def test_sample_flow(fitted_aspire):
+    samples = fitted_aspire.sample_flow(100)
+    assert len(samples) == 100
+    assert samples.log_q is not None

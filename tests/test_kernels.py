@@ -1,0 +1,185 @@
+"""MCMC kernel correctness: invariance of the target distribution.
+
+Each kernel is run on a known Gaussian target; the chain's stationary
+moments must match. These are the internalized equivalents of the
+reference's external kernels (minipcn/emcee/blackjax; SURVEY.md §2.3).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from functools import partial
+
+from aspire_tpu.samplers import kernels as K
+
+TARGET_MEAN = jnp.asarray([1.0, -0.5])
+TARGET_STD = jnp.asarray([1.0, 2.0])
+
+
+def log_prob_fn(x):
+    return jnp.sum(
+        -0.5 * ((x - TARGET_MEAN) / TARGET_STD) ** 2, axis=-1
+    )
+
+
+def lp_and_grad(x):
+    def total(x):
+        lp = log_prob_fn(x)
+        return jnp.sum(lp), lp
+
+    (_, lp), g = jax.value_and_grad(total, has_aux=True)(x)
+    return lp, g
+
+
+def init_state(key, n=512, d=2, step=0.5, with_grad=False):
+    x = jax.random.normal(key, (n, d))
+    lp = log_prob_fn(x)
+    grad = lp_and_grad(x)[1] if with_grad else None
+    return K.ChainState(
+        x=x,
+        log_prob=lp,
+        key=jax.random.fold_in(key, 1),
+        step_size=jnp.asarray(step),
+        n_accept=jnp.zeros(n),
+        grad=grad,
+    )
+
+
+def run(step_fn, state, n_steps=400):
+    final, _ = jax.jit(
+        lambda s: K.run_chain(step_fn, s, n_steps)
+    )(state)
+    return final
+
+
+def check_moments(final, mean_tol=0.25, std_tol=0.3):
+    x = np.asarray(final.x)
+    np.testing.assert_allclose(
+        x.mean(0), np.asarray(TARGET_MEAN), atol=mean_tol
+    )
+    np.testing.assert_allclose(
+        x.std(0), np.asarray(TARGET_STD), atol=std_tol
+    )
+
+
+@pytest.fixture
+def key():
+    return jax.random.key(3)
+
+
+@pytest.fixture
+def ref(key):
+    # Deliberately offset reference so the kernel must rely on MH
+    # correction, not just the reference measure.
+    x = jax.random.normal(key, (512, 2)) * TARGET_STD + TARGET_MEAN
+    return K.fit_gaussian_reference(x)
+
+
+class TestKernelInvariance:
+    def test_pcn(self, key, ref):
+        step = partial(K.pcn_step, log_prob_fn=log_prob_fn, ref=ref)
+        final = run(step, init_state(key))
+        check_moments(final)
+        acc = float(jnp.mean(final.n_accept)) / 400
+        # Reference fitted to the target: near-independence sampler, so
+        # acceptance is high.
+        assert 0.1 < acc <= 1.0
+
+    def test_tpcn(self, key, ref):
+        step = partial(K.tpcn_step, log_prob_fn=log_prob_fn, ref=ref)
+        final = run(step, init_state(key))
+        check_moments(final)
+
+    def test_rwmh(self, key, ref):
+        step = partial(K.rwmh_step, log_prob_fn=log_prob_fn, ref=ref)
+        final = run(step, init_state(key, step=0.5))
+        check_moments(final)
+
+    def test_mala(self, key):
+        step = partial(K.mala_step, log_prob_and_grad_fn=lp_and_grad)
+        final = run(step, init_state(key, step=0.4, with_grad=True))
+        check_moments(final)
+
+    def test_hmc(self, key):
+        step = partial(
+            K.hmc_step, log_prob_and_grad_fn=lp_and_grad, n_leapfrog=5
+        )
+        final = run(step, init_state(key, step=0.3, with_grad=True), 200)
+        check_moments(final)
+
+    def test_hmc_jittered(self, key):
+        step = partial(
+            K.hmc_step,
+            log_prob_and_grad_fn=lp_and_grad,
+            n_leapfrog=8,
+            jitter_trajectory=True,
+        )
+        final = run(step, init_state(key, step=0.3, with_grad=True), 200)
+        check_moments(final)
+
+    def test_stretch(self, key):
+        step = partial(K.stretch_step, log_prob_fn=log_prob_fn)
+        final = run(step, init_state(key), 600)
+        check_moments(final)
+
+    def test_stretch_odd_n(self, key):
+        step = partial(K.stretch_step, log_prob_fn=log_prob_fn)
+        final = run(step, init_state(key, n=511), 100)
+        assert final.x.shape == (511, 2)
+
+    def test_adaptation_targets_acceptance(self, key):
+        # Mismatched (much wider) reference: large steps are mostly
+        # rejected, so the adaptation must shrink the step size toward
+        # the target acceptance.
+        x_wide = jax.random.normal(key, (512, 2)) * 8.0
+        ref = K.fit_gaussian_reference(x_wide)
+        step = partial(
+            K.pcn_step,
+            log_prob_fn=log_prob_fn,
+            ref=ref,
+            target_acceptance=0.234,
+            adaptation_rate=0.2,
+        )
+        state = init_state(key, step=0.99)
+        final = run(step, state, 500)
+        assert float(final.step_size) < 0.9
+        # Run further with the adapted step; acceptance near target.
+        probe = final._replace(n_accept=jnp.zeros_like(final.n_accept))
+        probe = run(step, probe, 200)
+        acc = float(jnp.mean(probe.n_accept)) / 200
+        assert acc == pytest.approx(0.234, abs=0.15)
+
+    def test_nan_target_rejected(self, key, ref):
+        def nan_log_prob(x):
+            lp = log_prob_fn(x)
+            return jnp.where(x[:, 0] > 100.0, jnp.nan, lp)
+
+        step = partial(K.pcn_step, log_prob_fn=nan_log_prob, ref=ref)
+        final = run(step, init_state(key), 50)
+        assert np.all(np.isfinite(np.asarray(final.log_prob)))
+
+
+class TestGaussianReference:
+    def test_fit(self, key):
+        x = (
+            jax.random.normal(key, (20000, 2)) @ jnp.asarray(
+                [[1.0, 0.0], [0.5, 0.8]]
+            )
+            + jnp.asarray([3.0, -1.0])
+        )
+        ref = K.fit_gaussian_reference(x)
+        np.testing.assert_allclose(
+            np.asarray(ref.mean), [3.0, -1.0], atol=0.05
+        )
+        cov = np.asarray(ref.chol @ ref.chol.T)
+        # x = z @ A + mu with A = [[1, 0], [0.5, 0.8]] -> cov = A^T A.
+        a = np.array([[1.0, 0.0], [0.5, 0.8]])
+        np.testing.assert_allclose(cov, a.T @ a, atol=0.06)
+
+    def test_mahalanobis_whitens(self, key):
+        x = jax.random.normal(key, (5000, 3)) * 2.0 + 1.0
+        ref = K.fit_gaussian_reference(x)
+        r2 = np.asarray(K._mahalanobis_sq(ref, x))
+        # Mean Mahalanobis^2 of own samples ~ d.
+        assert r2.mean() == pytest.approx(3.0, rel=0.1)
