@@ -91,9 +91,19 @@ def fit_flow(
     opt_state = tx.init(params)
 
     if sharding is not None:
+        # Trim to a multiple of the shard count so the batch axis divides
+        # evenly over the mesh (drops at most n_shards - 1 samples).
+        n_shards = len(sharding.device_set)
+        n_train_even = (n_train // n_shards) * n_shards
+        if n_train_even != n_train:
+            x_train = x_train[:n_train_even]
+            n_train = n_train_even
+            n_batches = max(n_train // batch_size, 1)
         x_train = jax.device_put(x_train, sharding)
         if n_val:
-            x_val = jax.device_put(x_val, sharding)
+            n_val_even = (n_val // n_shards) * n_shards
+            if n_val_even:
+                x_val = jax.device_put(x_val[:n_val_even], sharding)
 
     @jax.jit
     def train_epoch(params, opt_state, x_train, key):
