@@ -131,6 +131,9 @@ class SMCSampler(Sampler):
         self.sampler_kwargs: dict = {}
         self._adaptive_target_efficiency = False
         self._mutate_cache: dict = {}
+        from ..profiling import Profiler
+
+        self.profiler = Profiler()
 
     # -- target efficiency schedule (reference smc/base.py:80-121) ---------
 
@@ -508,14 +511,15 @@ class SMCSampler(Sampler):
                     + samples.log_prior
                     - samples.log_q
                 )
-                beta, min_beta_step = self.determine_beta(
-                    delta,
-                    beta,
-                    beta_step,
-                    min_beta_step,
-                    max_beta_step=max_beta_step,
-                    beta_tolerance=beta_tolerance,
-                )
+                with self.profiler.phase("determine_beta"):
+                    beta, min_beta_step = self.determine_beta(
+                        delta,
+                        beta,
+                        beta_step,
+                        min_beta_step,
+                        max_beta_step=max_beta_step,
+                        beta_tolerance=beta_tolerance,
+                    )
                 self.history.eff_target.append(
                     float(self.current_target_efficiency(beta))
                 )
@@ -553,12 +557,19 @@ class SMCSampler(Sampler):
                     math.sqrt(max(var, 0.0)),
                 )
 
-                samples = samples.resample(
-                    beta,
-                    key=self.next_key(),
-                    method=self.resampling_method,
+                with self.profiler.phase("resample"):
+                    samples = samples.resample(
+                        beta,
+                        key=self.next_key(),
+                        method=self.resampling_method,
+                    )
+                with self.profiler.phase("mutate"):
+                    samples = self.mutate(samples, beta)
+                self.profiler.add(
+                    "particle_steps",
+                    len(samples)
+                    * (self.sampler_kwargs.get("n_steps") or 5 * self.dims),
                 )
-                samples = self.mutate(samples, beta)
                 if store_sample_history:
                     self.history.sample_history.append(samples.to_numpy())
                 maybe_checkpoint()
@@ -594,6 +605,13 @@ class SMCSampler(Sampler):
             final_samples.log_evidence,
             final_samples.log_evidence_error,
         )
+        mutate_s = self.profiler.phases["mutate"].total_s
+        if mutate_s > 0:
+            logger.info(
+                "Throughput: %.3e particle-steps/s (mutation)",
+                self.profiler.rate("particle_steps", "mutate"),
+            )
+        self.profiler.log_summary()
         return final_samples
 
     # -- config / checkpoint -------------------------------------------------

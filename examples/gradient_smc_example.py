@@ -1,0 +1,47 @@
+"""SMC with gradient-based (HMC) mutations.
+
+TPU-native counterpart of the reference's examples/blackjax_smc_example.py
+— the NUTS kernel is replaced by the TPU-shaped surrogate: HMC with a
+jittered static trajectory bound (``sampler="nuts_smc"``).
+"""
+
+from pathlib import Path
+
+import numpy as np
+
+from aspire_tpu import Aspire, Samples, configure_logger
+from aspire_tpu.models import FunnelProblem
+
+configure_logger("INFO")
+
+outdir = Path("outdir") / "gradient_smc_example"
+outdir.mkdir(parents=True, exist_ok=True)
+
+rng = np.random.default_rng(0)
+problem = FunnelProblem(dims=5)
+
+initial_samples = Samples(problem.draw_initial_samples(rng, 4000))
+
+aspire = Aspire(
+    log_likelihood=problem.log_likelihood,
+    log_prior=problem.log_prior,
+    dims=problem.dims,
+    flow_backend="maf",
+)
+
+aspire.fit(initial_samples, n_epochs=30)
+
+samples, history = aspire.sample_posterior(
+    sampler="nuts_smc",
+    n_samples=500,
+    target_efficiency=0.8,
+    sampler_kwargs=dict(n_steps=10, step_size=0.1, n_leapfrog=20),
+    return_history=True,
+)
+
+print(
+    f"log Z = {float(samples.log_evidence):.3f} "
+    f"+/- {float(samples.log_evidence_error):.3f}"
+)
+history.plot().savefig(outdir / "smc_diagnostics.png")
+samples.plot_corner().savefig(outdir / "posterior.png")
