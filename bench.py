@@ -95,14 +95,16 @@ def measure_rate(n_particles: int, n_steps: int = 20, reps: int = 5) -> float:
     mutate, params, x, beta, key, n_steps = build_workload(
         n_particles, n_steps=n_steps
     )
-    # Warmup / compile.
+    # Warmup / compile. NB: hard host syncs (np.asarray of a scalar) are
+    # used rather than block_until_ready — the tunneled TPU backend can
+    # report readiness before execution completes, which fakes rates.
     out = mutate(params, x, beta, key, n_steps=n_steps)
-    jax.block_until_ready(out)
+    np.asarray(out[0][0, 0])
     t0 = time.perf_counter()
     for i in range(reps):
         key = jax.random.fold_in(key, i)
         out = mutate(params, out[0], beta, key, n_steps=n_steps)
-    jax.block_until_ready(out)
+        np.asarray(out[0][0, 0])
     elapsed = time.perf_counter() - t0
     return n_particles * n_steps * reps / elapsed
 
