@@ -227,7 +227,7 @@ class Coupling(Architecture):
         eld = jnp.where(mask[None, :], 0.0, eld)
         return y, eld.sum(-1)
 
-    def forward(self, params, x):
+    def _forward_xla(self, params, x):
         masks = _coupling_masks(self.dims, self.n_layers)
         log_det = jnp.zeros(x.shape[0], dtype=x.dtype)
         z = x
@@ -236,7 +236,7 @@ class Coupling(Architecture):
             log_det += ld
         return z, log_det
 
-    def inverse(self, params, z):
+    def _inverse_xla(self, params, z):
         masks = _coupling_masks(self.dims, self.n_layers)
         log_det = jnp.zeros(z.shape[0], dtype=z.dtype)
         x = z
@@ -246,6 +246,27 @@ class Coupling(Architecture):
             x, ld = self._transform(layer, x, mask, inverse=False)
             log_det += ld
         return x, log_det
+
+    def forward(self, params, x):
+        """Data -> latent; dispatches to the fused Pallas kernel on TPU.
+
+        The fused path streams particle tiles through every layer in
+        VMEM (see ops/fused_coupling.py); gradients recompute through
+        the XLA path via custom_vjp, so training and MALA/HMC are exact.
+        """
+        from ..ops.fused_coupling import fused_coupling_apply, should_fuse
+
+        if should_fuse(self, x):
+            return fused_coupling_apply(self, "forward", params, x)
+        return self._forward_xla(params, x)
+
+    def inverse(self, params, z):
+        """Latent -> data; dispatches to the fused Pallas kernel on TPU."""
+        from ..ops.fused_coupling import fused_coupling_apply, should_fuse
+
+        if should_fuse(self, z):
+            return fused_coupling_apply(self, "inverse", params, z)
+        return self._inverse_xla(params, z)
 
 
 def realnvp(dims: int, **kwargs) -> Coupling:

@@ -1,0 +1,408 @@
+"""Pallas-fused coupling-flow passes (TPU hot kernel).
+
+The coupling-flow forward pass (the density direction used by every SMC
+mutation step and importance-sampling reweight; reference call stack
+SURVEY.md §3.5, flows/jax/flows.py:156-175) is, per layer, a small MLP
+(three matmuls) followed by elementwise rational-quadratic-spline math.
+Under plain XLA each matmul materializes its ``(n, hidden)`` /
+``(n, dims*n_spline_params)`` intermediate in HBM — at n=128k, d=4 that
+is ~600 MB of HBM traffic per flow evaluation, against ~5 MB of actual
+input/output. This kernel fuses the *entire multi-layer flow*: particle
+tiles stream HBM->VMEM once, all layer weights stay VMEM-resident, the
+MLP matmuls run on the MXU and the spline math on the VPU, and only
+``(z, log_det)`` is written back.
+
+Layout: everything inside the kernel is **transposed** — features on
+sublanes, particles on lanes — so the elementwise spline math runs at
+full 128-lane VPU utilization (dims are small; particles are the only
+big axis). Spline parameter groups are padded to 8 rows so every slice
+is sublane-aligned, and per-bin reductions run across sublanes of a
+``(dims, 8, tile)`` view.
+
+Gradients are provided by a ``jax.custom_vjp`` whose backward pass
+recomputes through the reference XLA implementation, so flow training
+(density MLE) and gradient-based mutation kernels (MALA/HMC) are exact.
+
+Dispatch is automatic (see :func:`should_fuse`): TPU backend, 2-D f32
+inputs, ``dims <= MAX_FUSED_DIMS``. ``ASPIRE_TPU_FUSED=0`` disables it.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+MAX_FUSED_DIMS = 32
+_TILE = int(os.environ.get("ASPIRE_TPU_FUSED_TILE", "1024"))
+# Below this batch size the XLA path is already latency-bound and the
+# fused kernel only adds compile time (one Pallas compile per shape).
+_MIN_FUSED_N = int(os.environ.get("ASPIRE_TPU_FUSED_MIN_N", "4096"))
+
+DEFAULT_MIN_BIN_WIDTH = 1e-3
+DEFAULT_MIN_BIN_HEIGHT = 1e-3
+DEFAULT_MIN_DERIVATIVE = 1e-3
+
+_SUBLANE = 8
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+# ---------------------------------------------------------------------------
+# Dispatch predicate
+# ---------------------------------------------------------------------------
+
+
+def should_fuse(arch, x) -> bool:
+    """True when the fused TPU kernel applies to this (arch, input)."""
+    if os.environ.get("ASPIRE_TPU_FUSED", "1") != "1":
+        return False
+    if getattr(x, "ndim", None) != 2:
+        return False
+    if x.shape[0] < _MIN_FUSED_N:
+        return False
+    if x.dtype != jnp.float32:
+        return False
+    if arch.dims > MAX_FUSED_DIMS:
+        return False
+    if arch.transformer not in ("affine", "rqs"):
+        return False
+    if arch.transformer == "rqs" and arch.num_bins > 32:
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover - no backend at all
+        return False
+
+
+# ---------------------------------------------------------------------------
+# Parameter preparation (nested layer dicts -> kernel-ready stacks)
+# ---------------------------------------------------------------------------
+
+
+def _group_size(arch) -> int:
+    """Per-dim parameter rows, padded for sublane alignment."""
+    if arch.transformer == "affine":
+        return _SUBLANE
+    # >= 3K so the kernel can take an aligned K-row slice of the
+    # derivative block (rows 2K..3K-1, last row = zero pad).
+    return _round_up(3 * arch.num_bins, _SUBLANE)
+
+
+def prepare_params(arch, params: dict) -> list[jax.Array]:
+    """Stack per-layer MLP weights over the flow-layer axis, transposed.
+
+    ``params`` is ``{"layers": [mlp_0, ..., mlp_{L-1}]}`` with each
+    ``mlp_l = {"layers": [{"w", "b"}, ...]}`` (identical shapes across
+    flow layers). Hidden weights become ``(L, out, in)`` (transposed for
+    the features-on-sublanes layout); the output layer is additionally
+    reorganized from per-dim groups of ``P = n_params_per_dim`` columns
+    into zero-padded groups of ``G = _group_size`` rows so every in-kernel
+    slice is sublane-aligned. Returns ``[W_0, b_0, W_1, b_1, ...]``.
+    """
+    flow_layers = params["layers"]
+    n_dense = len(flow_layers[0]["layers"])
+    d = arch.dims
+    P = arch._n_params_per_dim
+    G = _group_size(arch)
+    out = []
+    for j in range(n_dense):
+        w = jnp.stack([fl["layers"][j]["w"] for fl in flow_layers])
+        b = jnp.stack([fl["layers"][j]["b"] for fl in flow_layers])
+        if j == n_dense - 1:
+            L, H, _ = w.shape
+            w = w.reshape(L, H, d, P)
+            w = jnp.pad(w, ((0, 0), (0, 0), (0, 0), (0, G - P)))
+            w = w.reshape(L, H, d * G)
+            b = b.reshape(L, d, P)
+            b = jnp.pad(b, ((0, 0), (0, 0), (0, G - P)))
+            b = b.reshape(L, d * G)
+        out.append(jnp.swapaxes(w, 1, 2))  # (L, out, in)
+        out.append(b[:, :, None])  # (L, out, 1) — broadcasts over lanes
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Transformer math, transposed layout
+# ---------------------------------------------------------------------------
+
+
+def _cumsum_rows(a, K: int, *, in_kernel: bool = True):
+    """Inclusive prefix sum over axis 1 of ``(d, K, T)``.
+
+    Log-step shift-and-add over the sublane (bin) axis: ``ceil(log2 K)``
+    rolls instead of K single-sublane slices — the rolls lower to cheap
+    vector shifts in Mosaic.
+    """
+    row = jax.lax.broadcasted_iota(jnp.int32, (1, K, 1), 1)
+    c = a
+    s = 1
+    while s < K:
+        if in_kernel:
+            shifted = pltpu.roll(c, s, 1)
+        else:  # jnp fallback for the interpret/reference path
+            shifted = jnp.roll(c, s, axis=1)
+        c = c + jnp.where(row >= s, shifted, jnp.zeros_like(c))
+        s *= 2
+    return c
+
+
+def _rqs_rows(v, hg, num_bins: int, tail_bound: float, inverse: bool):
+    """RQS of all dims at once, features-on-sublanes.
+
+    ``v``: (d, T) values; ``hg``: (d, G, T) padded per-dim parameter
+    groups (rows 0..K-1 widths, K..2K-1 heights, 2K..3K-2 derivatives).
+    Returns ``(outputs (d, T), elementwise log_det (d, T))``. Mirrors
+    :func:`aspire_tpu.flows.bijectors.rational_quadratic_spline`.
+    """
+    K = num_bins
+    tb = tail_bound
+
+    w_raw = hg[:, :K, :]
+    h_raw = hg[:, K : 2 * K, :]
+    # Rows 2K..3K-1: K-1 derivative params plus one zero pad row (aligned
+    # K-row slice; the pad row is overwritten with the boundary value).
+    d_raw = hg[:, 2 * K : 3 * K, :]
+
+    # Softmax over the bin (sublane) axis.
+    def bin_softmax(r):
+        e = jnp.exp(r - jnp.max(r, axis=1, keepdims=True))
+        return e / jnp.sum(e, axis=1, keepdims=True)
+
+    widths = bin_softmax(w_raw)
+    widths = DEFAULT_MIN_BIN_WIDTH + (1 - DEFAULT_MIN_BIN_WIDTH * K) * widths
+    heights = bin_softmax(h_raw)
+    heights = (
+        DEFAULT_MIN_BIN_HEIGHT + (1 - DEFAULT_MIN_BIN_HEIGHT * K) * heights
+    )
+    w_scaled = widths * (2 * tb)
+    h_scaled = heights * (2 * tb)
+
+    # Right/left bin edges; left edge of bin 0 is -tail_bound by
+    # construction (up to rounding, which the count-based bin index
+    # below absorbs exactly as the reference's clip does).
+    x_hi = _cumsum_rows(w_scaled, K) - tb  # (d, K, T)
+    x_lo = x_hi - w_scaled
+    y_hi = _cumsum_rows(h_scaled, K) - tb
+    y_lo = y_hi - h_scaled
+
+    # Derivatives at left/right knots of each bin; boundary knots pinned
+    # to 1 to match the identity tails. Row K-1 of d_raw is the zero pad
+    # row; overwrite it with the right-boundary derivative (1), then the
+    # left-knot rows are a single sublane roll (row 0 wraps to 1, the
+    # left-boundary value, for free).
+    row_k = jax.lax.broadcasted_iota(jnp.int32, (1, K, 1), 1)
+    dp = DEFAULT_MIN_DERIVATIVE + jax.nn.softplus(d_raw)  # (d, K, T)
+    d_right_rows = jnp.where(row_k == K - 1, jnp.ones_like(dp), dp)
+    d_left_rows = pltpu.roll(d_right_rows, 1, 1)
+
+    inside = (v > -tb) & (v < tb)
+    safe = jnp.clip(v, -tb, tb)[:, None, :]  # (d, 1, T)
+
+    lo = y_lo if inverse else x_lo
+    k = jnp.sum((safe >= lo).astype(jnp.int32), axis=1, keepdims=True) - 1
+    k = jnp.clip(k, 0, K - 1)  # (d, 1, T)
+    bins = jax.lax.broadcasted_iota(jnp.int32, (1, K, 1), 1)
+    onehot = (k == bins).astype(v.dtype)  # (d, K, T)
+
+    def take(a):  # (d, K, T) -> (d, T)
+        return jnp.sum(a * onehot, axis=1)
+
+    x_k = take(x_lo)
+    y_k = take(y_lo)
+    w = take(w_scaled)
+    h = take(h_scaled)
+    d_k = take(d_left_rows)
+    d_k1 = take(d_right_rows)
+    s = h / w
+    sv = safe[:, 0, :]
+
+    if not inverse:
+        xi = jnp.clip((sv - x_k) / w, 0.0, 1.0)
+        xi_1m = 1 - xi
+        num = h * (s * xi**2 + d_k * xi * xi_1m)
+        den = s + (d_k1 + d_k - 2 * s) * xi * xi_1m
+        outputs = y_k + num / den
+        log_det = (
+            2 * jnp.log(s)
+            + jnp.log(d_k1 * xi**2 + 2 * s * xi * xi_1m + d_k * xi_1m**2)
+            - 2 * jnp.log(den)
+        )
+    else:
+        y_rel = sv - y_k
+        a = h * (s - d_k) + y_rel * (d_k1 + d_k - 2 * s)
+        b = h * d_k - y_rel * (d_k1 + d_k - 2 * s)
+        c = -s * y_rel
+        disc = jnp.maximum(b**2 - 4 * a * c, 0.0)
+        xi = jnp.clip((2 * c) / (-b - jnp.sqrt(disc)), 0.0, 1.0)
+        xi_1m = 1 - xi
+        outputs = xi * w + x_k
+        den = s + (d_k1 + d_k - 2 * s) * xi * xi_1m
+        log_det = -(
+            2 * jnp.log(s)
+            + jnp.log(d_k1 * xi**2 + 2 * s * xi * xi_1m + d_k * xi_1m**2)
+            - 2 * jnp.log(den)
+        )
+
+    outputs = jnp.where(inside, outputs, v)
+    log_det = jnp.where(inside, log_det, 0.0)
+    return outputs, log_det
+
+
+def _affine_rows(v, hg, inverse: bool, bound: float = 3.0):
+    """Affine transformer, features-on-sublanes; ``hg``: (d, G, T)."""
+    shift = hg[:, 0, :]
+    log_scale = bound * jnp.tanh(hg[:, 1, :] / bound)
+    if inverse:
+        return (v - shift) * jnp.exp(-log_scale), -log_scale
+    return v * jnp.exp(log_scale) + shift, log_scale
+
+
+# ---------------------------------------------------------------------------
+# The kernel
+# ---------------------------------------------------------------------------
+
+
+def _coupling_kernel(arch, mode: str, n_dense: int, xt_ref, *refs):
+    """One particle tile through every coupling layer, VMEM-resident.
+
+    ``mode="forward"``: data -> latent (density pass; transformer
+    inverse), layers in order. ``mode="inverse"``: latent -> data
+    (sampling pass; transformer forward), layers reversed. All arrays
+    are transposed: ``xt_ref`` is (d, T).
+    """
+    w_refs = refs[: 2 * n_dense]
+    zt_ref, ld_ref = refs[2 * n_dense], refs[2 * n_dense + 1]
+
+    d = arch.dims
+    G = _group_size(arch)
+    density_pass = mode == "forward"
+
+    x = xt_ref[:]  # (d, T)
+    dtype = x.dtype
+    ld = jnp.zeros(ld_ref.shape, dtype=dtype)  # (1, T)
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (d, 1), 0)
+
+    layer_order = range(arch.n_layers)
+    if not density_pass:
+        layer_order = reversed(list(layer_order))
+
+    for layer in layer_order:
+        # mask==1 marks the conditioning half (passes through unchanged
+        # and feeds the conditioner) — parity matches `_coupling_masks`.
+        cond = ((row % 2) + layer) % 2 == 1  # (d, 1)
+        h = jnp.where(cond, x, jnp.zeros_like(x))
+        for j in range(n_dense):
+            w = w_refs[2 * j][layer]  # (out, in)
+            b = w_refs[2 * j + 1][layer]  # (out, 1)
+            h = (
+                jnp.dot(w, h, preferred_element_type=jnp.float32).astype(
+                    dtype
+                )
+                + b
+            )
+            if j < n_dense - 1:
+                h = jax.nn.relu(h)
+        hg = h.reshape(d, G, h.shape[-1])  # (d, G, T)
+
+        if arch.transformer == "affine":
+            y, eld = _affine_rows(x, hg, inverse=density_pass)
+        else:
+            y, eld = _rqs_rows(
+                x,
+                hg,
+                arch.num_bins,
+                arch.tail_bound,
+                inverse=density_pass,
+            )
+        x = jnp.where(cond, x, y)
+        ld = ld + jnp.sum(
+            jnp.where(cond, jnp.zeros_like(eld), eld), axis=0, keepdims=True
+        )
+
+    zt_ref[:] = x
+    ld_ref[:] = ld
+
+
+def _pallas_apply(arch, mode: str, prepared, x, interpret=None):
+    """Invoke the fused kernel over particle tiles.
+
+    ``x`` is (n, d) in the standard layout; transposition to the
+    kernel's features-on-sublanes layout happens here (a cheap XLA
+    transpose of the small in/out arrays only).
+    """
+    n, d = x.shape
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n_dense = len(prepared) // 2
+    tile = min(_TILE, _round_up(n, 128))
+    grid = (pl.cdiv(n, tile),)
+
+    kernel = functools.partial(_coupling_kernel, arch, mode, n_dense)
+    weight_specs = [
+        pl.BlockSpec(
+            s.shape, lambda i, nd=s.ndim: (0,) * nd, memory_space=pltpu.VMEM
+        )
+        for s in prepared
+    ]
+    zt, ld = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((d, n), x.dtype),
+            jax.ShapeDtypeStruct((1, n), x.dtype),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (d, tile), lambda i: (0, i), memory_space=pltpu.VMEM
+            )
+        ]
+        + weight_specs,
+        out_specs=(
+            pl.BlockSpec(
+                (d, tile), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, tile), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+        ),
+        interpret=interpret,
+    )(x.T, *prepared)
+    return zt.T, ld[0]
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp wrapper: fused forward, XLA-recompute backward
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def fused_coupling_apply(arch, mode: str, params, x):
+    """Fused coupling pass; ``mode`` in {"forward", "inverse"}.
+
+    Semantics identical to ``Coupling._forward_xla`` /
+    ``Coupling._inverse_xla`` (aspire_tpu/flows/architectures.py).
+    """
+    prepared = prepare_params(arch, params)
+    return _pallas_apply(arch, mode, prepared, x)
+
+
+def _fused_fwd(arch, mode, params, x):
+    return fused_coupling_apply(arch, mode, params, x), (params, x)
+
+
+def _fused_bwd(arch, mode, res, cotangents):
+    params, x = res
+    ref_fn = arch._forward_xla if mode == "forward" else arch._inverse_xla
+    _, vjp = jax.vjp(ref_fn, params, x)
+    return vjp(cotangents)
+
+
+fused_coupling_apply.defvjp(_fused_fwd, _fused_bwd)

@@ -296,8 +296,9 @@ class Samples(BaseSamples):
         self.log_evidence = logsumexp(self.log_w) - math.log(n)
         self.weights = jnp.exp(self.log_w)
         self.evidence = jnp.exp(self.log_evidence)
+        # n*(n-1) as a float: the int product overflows int32 for n >= 2^16.
         self.evidence_error = jnp.sqrt(
-            jnp.sum((self.weights - self.evidence) ** 2) / (n * (n - 1))
+            jnp.sum((self.weights - self.evidence) ** 2) / (n * (n - 1.0))
         )
         self.log_evidence_error = jnp.abs(self.evidence_error / self.evidence)
         self.effective_sample_size = effective_sample_size(
