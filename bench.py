@@ -50,6 +50,13 @@ def build_workload(n_particles: int, dims: int = 4, n_steps: int = 20):
     )
     arch = flow.architecture
     data_transform = flow.data_transform
+    # Perturb away from the zero-init identity so the benchmark exercises
+    # a realistic trained flow (identity-flow timings are unrepresentative).
+    flow.params = jax.tree.map(
+        lambda p: p
+        + 0.1 * jax.random.normal(jax.random.key(7), p.shape, p.dtype),
+        flow.params,
+    )
 
     class _View:
         __slots__ = ("x",)
@@ -89,24 +96,36 @@ def build_workload(n_particles: int, dims: int = 4, n_steps: int = 20):
     return mutate, flow.params, x, beta, key, n_steps
 
 
-def measure_rate(n_particles: int, n_steps: int = 20, reps: int = 5) -> float:
+def measure_rate(
+    n_particles: int, n_steps: int = 200, reps: int = 5
+) -> float:
+    """Median mutation throughput in particle-steps/s.
+
+    Methodology notes (hard-won on the tunneled TPU backend):
+    - ``block_until_ready`` can report readiness before execution
+      completes there — a host value fetch (np.asarray of a scalar) is
+      the only trustworthy sync.
+    - Per-call round-trip latency swings 0.05-30 ms by the minute, so
+      each timed call runs a long (``n_steps``-step) chain inside one
+      jit to amortize it, and the median over ``reps`` calls is
+      reported.
+    """
     import jax
 
     mutate, params, x, beta, key, n_steps = build_workload(
         n_particles, n_steps=n_steps
     )
-    # Warmup / compile. NB: hard host syncs (np.asarray of a scalar) are
-    # used rather than block_until_ready — the tunneled TPU backend can
-    # report readiness before execution completes, which fakes rates.
     out = mutate(params, x, beta, key, n_steps=n_steps)
-    np.asarray(out[0][0, 0])
-    t0 = time.perf_counter()
+    np.asarray(out[0][0, 0])  # warmup/compile + hard sync
+    times = []
     for i in range(reps):
         key = jax.random.fold_in(key, i)
+        t0 = time.perf_counter()
         out = mutate(params, out[0], beta, key, n_steps=n_steps)
         np.asarray(out[0][0, 0])
-    elapsed = time.perf_counter() - t0
-    return n_particles * n_steps * reps / elapsed
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return n_particles * n_steps / times[len(times) // 2]
 
 
 def correctness_anchor() -> dict:
@@ -153,7 +172,7 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-        rate = measure_rate(n_particles=8192, n_steps=10, reps=3)
+        rate = measure_rate(n_particles=8192, n_steps=20, reps=3)
         print(json.dumps({"cpu_rate": rate}))
         return
 
@@ -163,7 +182,8 @@ def main():
     _log(f"bench device: {jax.devices()[0]} (platform={platform})")
 
     n_particles = 131072 if platform != "cpu" else 16384
-    rate = measure_rate(n_particles=n_particles, n_steps=20, reps=5)
+    n_steps = 200 if platform != "cpu" else 20
+    rate = measure_rate(n_particles=n_particles, n_steps=n_steps, reps=5)
     _log(f"mutation rate: {rate:.3e} particle-steps/s @ n={n_particles}")
 
     # CPU baseline via subprocess (honest stand-in for the reference's
