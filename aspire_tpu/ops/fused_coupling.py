@@ -95,22 +95,32 @@ def _group_size(arch) -> int:
     return _round_up(3 * arch.num_bins, _SUBLANE)
 
 
+def _active_dims(d: int, layer: int) -> list[int]:
+    """Dims transformed by this layer (complement of `_coupling_masks`)."""
+    return [i for i in range(d) if ((i % 2) + layer) % 2 == 0]
+
+
 def prepare_params(arch, params: dict) -> list[jax.Array]:
     """Stack per-layer MLP weights over the flow-layer axis, transposed.
 
     ``params`` is ``{"layers": [mlp_0, ..., mlp_{L-1}]}`` with each
     ``mlp_l = {"layers": [{"w", "b"}, ...]}`` (identical shapes across
     flow layers). Hidden weights become ``(L, out, in)`` (transposed for
-    the features-on-sublanes layout); the output layer is additionally
-    reorganized from per-dim groups of ``P = n_params_per_dim`` columns
-    into zero-padded groups of ``G = _group_size`` rows so every in-kernel
-    slice is sublane-aligned. Returns ``[W_0, b_0, W_1, b_1, ...]``.
+    the features-on-sublanes layout). The output layer is reorganized
+    twice over: (a) only the **active** dims of each layer keep their
+    parameter columns (the conditioning half is pass-through, so
+    computing its transformer params would be pure waste — this halves
+    the spline work); (b) per-dim groups of ``P = n_params_per_dim``
+    columns become zero-padded groups of ``G = _group_size`` rows so
+    every in-kernel slice is sublane-aligned. Returns
+    ``[W_0, b_0, W_1, b_1, ...]``.
     """
     flow_layers = params["layers"]
     n_dense = len(flow_layers[0]["layers"])
     d = arch.dims
     P = arch._n_params_per_dim
     G = _group_size(arch)
+    a = (d + 1) // 2
     out = []
     for j in range(n_dense):
         w = jnp.stack([fl["layers"][j]["w"] for fl in flow_layers])
@@ -118,11 +128,22 @@ def prepare_params(arch, params: dict) -> list[jax.Array]:
         if j == n_dense - 1:
             L, H, _ = w.shape
             w = w.reshape(L, H, d, P)
-            w = jnp.pad(w, ((0, 0), (0, 0), (0, 0), (0, G - P)))
-            w = w.reshape(L, H, d * G)
             b = b.reshape(L, d, P)
-            b = jnp.pad(b, ((0, 0), (0, 0), (0, G - P)))
-            b = b.reshape(L, d * G)
+            w_sel, b_sel = [], []
+            for layer in range(L):
+                act = _active_dims(d, layer)
+                wl = w[layer][:, jnp.asarray(act), :]  # (H, a_l, P)
+                bl = b[layer][jnp.asarray(act), :]
+                if len(act) < a:  # odd d: pad with a dummy group
+                    wl = jnp.pad(wl, ((0, 0), (0, a - len(act)), (0, 0)))
+                    bl = jnp.pad(bl, ((0, a - len(act)), (0, 0)))
+                w_sel.append(wl)
+                b_sel.append(bl)
+            w = jnp.stack(w_sel)  # (L, H, a, P)
+            b = jnp.stack(b_sel)  # (L, a, P)
+            w = jnp.pad(w, ((0, 0), (0, 0), (0, 0), (0, G - P)))
+            w = w.reshape(L, H, a * G)
+            b = jnp.pad(b, ((0, 0), (0, 0), (0, G - P))).reshape(L, a * G)
         out.append(jnp.swapaxes(w, 1, 2))  # (L, out, in)
         out.append(b[:, :, None])  # (L, out, 1) — broadcasts over lanes
     return out
@@ -282,6 +303,7 @@ def _coupling_kernel(arch, mode: str, n_dense: int, xt_ref, *refs):
 
     d = arch.dims
     G = _group_size(arch)
+    a = (d + 1) // 2
     density_pass = mode == "forward"
 
     x = xt_ref[:]  # (d, T)
@@ -298,6 +320,7 @@ def _coupling_kernel(arch, mode: str, n_dense: int, xt_ref, *refs):
         # mask==1 marks the conditioning half (passes through unchanged
         # and feeds the conditioner) — parity matches `_coupling_masks`.
         cond = ((row % 2) + layer) % 2 == 1  # (d, 1)
+        act = _active_dims(d, layer)
         h = jnp.where(cond, x, jnp.zeros_like(x))
         for j in range(n_dense):
             w = w_refs[2 * j][layer]  # (out, in)
@@ -310,22 +333,32 @@ def _coupling_kernel(arch, mode: str, n_dense: int, xt_ref, *refs):
             )
             if j < n_dense - 1:
                 h = jax.nn.relu(h)
-        hg = h.reshape(d, G, h.shape[-1])  # (d, G, T)
+        hg = h.reshape(a, G, h.shape[-1])  # (a, G, T): active dims only
+
+        # Gather the active rows of x (static single-row slices).
+        v_rows = [x[i : i + 1, :] for i in act]
+        if len(act) < a:
+            v_rows.append(jnp.zeros_like(x[:1, :]))
+        v = jnp.concatenate(v_rows, axis=0) if a > 1 else v_rows[0]
 
         if arch.transformer == "affine":
-            y, eld = _affine_rows(x, hg, inverse=density_pass)
+            y, eld = _affine_rows(v, hg, inverse=density_pass)
         else:
             y, eld = _rqs_rows(
-                x,
+                v,
                 hg,
                 arch.num_bins,
                 arch.tail_bound,
                 inverse=density_pass,
             )
-        x = jnp.where(cond, x, y)
-        ld = ld + jnp.sum(
-            jnp.where(cond, jnp.zeros_like(eld), eld), axis=0, keepdims=True
-        )
+        # Scatter transformed rows back into dim order.
+        pos = {i: idx for idx, i in enumerate(act)}
+        rows = [
+            y[pos[i] : pos[i] + 1, :] if i in pos else x[i : i + 1, :]
+            for i in range(d)
+        ]
+        x = jnp.concatenate(rows, axis=0) if d > 1 else rows[0]
+        ld = ld + jnp.sum(eld[: len(act)], axis=0, keepdims=True)
 
     zt_ref[:] = x
     ld_ref[:] = ld

@@ -67,6 +67,32 @@ def _mahalanobis_sq(ref: GaussianReference, x: jax.Array) -> jax.Array:
     return jnp.sum(z**2, axis=-1)
 
 
+def gamma_fixed_shape(key, alpha: float, n: int, dtype) -> jax.Array:
+    """Sample Gamma(alpha, 1) for a *static* shape parameter.
+
+    ``jax.random.gamma`` runs a rejection loop (~0.5 ms for 128k samples
+    on v5e — 25% of a whole tpCN step). When ``2*alpha`` is an integer,
+    Gamma(alpha, 1) = chi2_{2 alpha}/2 has the exact closed construction
+    ``sum of floor(alpha) exponentials (+ half a squared normal when
+    2 alpha is odd)``, which is pure vectorized RNG+VPU work (~10x
+    faster). Falls back to ``jax.random.gamma`` otherwise.
+    """
+    two_alpha = 2.0 * alpha
+    k = int(round(two_alpha))
+    if abs(two_alpha - k) > 1e-9 or k <= 0:
+        return jax.random.gamma(key, alpha, (n,), dtype=dtype)
+    m, odd = divmod(k, 2)
+    u_key, n_key = jax.random.split(key)
+    out = jnp.zeros((n,), dtype=dtype)
+    if m > 0:
+        u = jax.random.uniform(u_key, (n, m), dtype=dtype)
+        # log(1-u) with u in [0,1): strictly negative, never -inf.
+        out = -jnp.sum(jnp.log1p(-u), axis=-1)
+    if odd:
+        out = out + 0.5 * jax.random.normal(n_key, (n,), dtype=dtype) ** 2
+    return out
+
+
 def _adapt_step_size(
     step_size, accept_prob_mean, target_acceptance, adaptation_rate
 ):
@@ -146,7 +172,7 @@ def tpcn_step(
     s = state.step_size
     r2_old = _mahalanobis_sq(ref, state.x)
     alpha_gamma = 0.5 * (nu + d)
-    w = jax.random.gamma(w_key, alpha_gamma, (n,), dtype=state.x.dtype)
+    w = gamma_fixed_shape(w_key, alpha_gamma, n, state.x.dtype)
     w = w / (0.5 * (nu + r2_old))
     xi = jax.random.normal(prop_key, (n, d), dtype=state.x.dtype)
     x_prop = (

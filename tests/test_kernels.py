@@ -183,3 +183,33 @@ class TestGaussianReference:
         r2 = np.asarray(K._mahalanobis_sq(ref, x))
         # Mean Mahalanobis^2 of own samples ~ d.
         assert r2.mean() == pytest.approx(3.0, rel=0.1)
+
+
+def test_gamma_fixed_shape_moments():
+    """Closed-form chi2 construction matches Gamma(alpha, 1) moments."""
+    import jax
+    import jax.numpy as jnp
+
+    from aspire_tpu.samplers.kernels import gamma_fixed_shape
+
+    n = 200_000
+    for alpha in [4.5, 3.0, 0.5]:
+        w = gamma_fixed_shape(jax.random.key(0), alpha, n, jnp.float32)
+        assert w.shape == (n,)
+        assert float(jnp.min(w)) > 0
+        mean = float(jnp.mean(w))
+        var = float(jnp.var(w))
+        # MC error ~ alpha/sqrt(n); generous 5-sigma bounds.
+        assert abs(mean - alpha) < 5 * (alpha**0.5) / n**0.5 + 0.01
+        assert abs(var - alpha) < 0.1 * alpha + 0.05
+
+
+def test_gamma_fixed_shape_fallback_non_half_integer():
+    import jax
+    import jax.numpy as jnp
+
+    from aspire_tpu.samplers.kernels import gamma_fixed_shape
+
+    w = gamma_fixed_shape(jax.random.key(1), 2.75, 50_000, jnp.float32)
+    mean = float(jnp.mean(w))
+    assert abs(mean - 2.75) < 0.05
