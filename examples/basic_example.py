@@ -6,6 +6,11 @@ a 4-D Gaussian likelihood with a uniform prior (analytic log-evidence
 entire sampling path runs on device.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import math
 from pathlib import Path
 

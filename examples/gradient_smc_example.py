@@ -5,6 +5,11 @@ TPU-native counterpart of the reference's examples/blackjax_smc_example.py
 jittered static trajectory bound (``sampler="nuts_smc"``).
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 from pathlib import Path
 
 import numpy as np

@@ -6,6 +6,11 @@ NSF flow proposal, tpCN mutations, checkpoint/resume via
 ``auto_checkpoint``.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 from pathlib import Path
 
 import numpy as np
