@@ -275,29 +275,66 @@ class SMCSampler(Sampler):
         kwargs.update(self.sampler_kwargs or {})
         n_steps = int(n_steps or kwargs.get("n_steps") or 5 * self.dims)
 
-        z = self.fit_preconditioning_transform(samples.x)
+        with self.profiler.phase("mutate/fit_precond"):
+            z = self.fit_preconditioning_transform(samples.x)
         jittable = self.target_is_jittable()
         flow_params = self.prior_flow.params
         precond = self.preconditioning_transform
         beta_arr = jnp.asarray(beta, dtype=z.dtype)
 
-        ref = K.fit_gaussian_reference(z)
+        with self.profiler.phase("mutate/fit_reference"):
+            ref = K.fit_gaussian_reference(z)
         key = self.next_key()
 
-        if jittable:
-            final_state = self._mutate_on_device(
-                flow_params, precond, z, beta_arr, key, n_steps, kwargs
-            )
-        else:
-            final_state = self._mutate_host(
-                flow_params, precond, z, beta_arr, key, n_steps, kwargs, ref
-            )
+        with self.profiler.phase("mutate/chain"):
+            if jittable:
+                final_state = self._mutate_on_device(
+                    flow_params, precond, z, beta_arr, key, n_steps, kwargs
+                )
+            else:
+                final_state = self._mutate_host(
+                    flow_params,
+                    precond,
+                    z,
+                    beta_arr,
+                    key,
+                    n_steps,
+                    kwargs,
+                    ref,
+                )
         # Count likelihood evaluations done inside the chain.
         self.n_likelihood_evaluations += n_steps * z.shape[0]
 
-        acceptance = float(
-            jnp.mean(final_state.n_accept / max(n_steps, 1))
-        )
+        if jittable:
+            # One jitted computation: invert preconditioning + refresh
+            # log_q / log_prior / log_likelihood (eagerly chaining these
+            # costs a host round-trip per op on remote backends), and
+            # ONE host fetch for the acceptance + NaN scalars.
+            x, log_q, log_pi, log_l, any_nan_q = self._refresh_densities(
+                flow_params, precond, final_state.x
+            )
+            self.n_likelihood_evaluations += int(x.shape[0])
+            with self.profiler.phase("mutate/sync"):
+                acc_arr = jnp.mean(final_state.n_accept / max(n_steps, 1))
+                acceptance, nan_q = jax.device_get((acc_arr, any_nan_q))
+            self.history.mcmc_acceptance.append(float(acceptance))
+            new = SMCSamples(
+                x=x,
+                beta=beta,
+                dtype=self.dtype,
+                parameters=self.parameters,
+            )
+            new.log_q = log_q
+            new.log_prior = log_pi
+            new.log_likelihood = log_l
+            if bool(nan_q):
+                raise ValueError("Log proposal contains NaN values")
+            return new
+
+        with self.profiler.phase("mutate/sync"):
+            acceptance = float(
+                jnp.mean(final_state.n_accept / max(n_steps, 1))
+            )
         self.history.mcmc_acceptance.append(acceptance)
 
         x, _ = self.invert_preconditioning(final_state.x)
@@ -313,6 +350,29 @@ class SMCSampler(Sampler):
         if bool(jnp.isnan(new.log_q).any()):
             raise ValueError("Log proposal contains NaN values")
         return new
+
+    def _refresh_densities(self, flow_params, precond, z_final):
+        """Cached jitted post-mutation refresh (jittable targets only)."""
+        if "refresh" not in self._mutate_cache:
+            flow_log_prob, _ = self.flow_log_prob_params()
+            log_likelihood = self.log_likelihood
+            log_prior = self.log_prior
+            make_view = self._make_view
+
+            @jax.jit
+            def refresh_fn(flow_params, precond, z):
+                if precond is None:
+                    x = z
+                else:
+                    x, _ = precond.inverse(z)
+                log_q = flow_log_prob(flow_params, x)
+                view = make_view(x)
+                log_pi = jnp.asarray(log_prior(view)).reshape(-1)
+                log_l = jnp.asarray(log_likelihood(view)).reshape(-1)
+                return x, log_q, log_pi, log_l, jnp.isnan(log_q).any()
+
+            self._mutate_cache["refresh"] = refresh_fn
+        return self._mutate_cache["refresh"](flow_params, precond, z_final)
 
     def _mutate_on_device(
         self, flow_params, precond, z, beta, key, n_steps, kwargs
@@ -397,7 +457,7 @@ class SMCSampler(Sampler):
         checkpoint_every: int | None = None,
         checkpoint_file_path: str | None = None,
         resume_from: str | bytes | dict | None = None,
-        store_sample_history: bool = True,
+        store_sample_history: bool | None = None,
         beta_tolerance: float = DEFAULT_BETA_TOLERANCE,
     ) -> Samples:
         """Run adaptive-tempered SMC; returns weighted posterior Samples."""
@@ -434,6 +494,12 @@ class SMCSampler(Sampler):
             samples.log_prior = self.shard_array(samples.log_prior)
             samples.log_likelihood = self.shard_array(samples.log_likelihood)
 
+        if store_sample_history is None:
+            # Per-iteration sample snapshots are a device->host transfer
+            # of the full particle array; record them by default only
+            # for plot-sized runs (the reference always records, but its
+            # workloads are O(500) particles).
+            store_sample_history = n_samples <= 10_000
         if store_sample_history:
             self.history.sample_history.append(samples.to_numpy())
 

@@ -31,6 +31,39 @@ import numpy as np
 from .ops.resampling import get_resampler
 from .ops.special import effective_sample_size, logsumexp
 from .utils import asarray, resolve_dtype, to_numpy
+import functools
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_samples", "method", "uniform_weights")
+)
+def _resample_on_device(
+    key,
+    x,
+    log_likelihood,
+    log_prior,
+    log_q,
+    beta_prev,
+    beta,
+    *,
+    n_samples: int,
+    method: str,
+    uniform_weights: bool,
+):
+    """Incremental weights -> resampling indices -> gathers, in one jit.
+
+    The NaN guard mirrors the reference's normalized-log-weights guard
+    (samples.py:1244-1249): non-finite weights get zero probability.
+    """
+    if uniform_weights:
+        log_w = jnp.zeros(x.shape[0], dtype=x.dtype)
+    else:
+        log_w = (beta_prev - beta) * log_q + (beta - beta_prev) * (
+            log_likelihood + log_prior
+        )
+        log_w = jnp.where(jnp.isnan(log_w), -jnp.inf, log_w)
+    idx = get_resampler(method)(key, log_w, n_samples)
+    return x[idx], log_likelihood[idx], log_prior[idx], log_q[idx]
 
 import logging
 
@@ -741,6 +774,10 @@ class SMCSamples(BaseSamples):
         log_evidence_ratio = logsumexp(log_w) - math.log(len(self.x))
         return log_w + log_evidence_ratio
 
+    # NB: module-level jitted helper, shared across instances — the whole
+    # resample (incremental weights -> index construction -> gathers) is
+    # ONE device computation. Eagerly chaining these ops costs a host
+    # round-trip per op on remote backends (seconds per SMC iteration).
     def resample(
         self,
         beta,
@@ -759,19 +796,27 @@ class SMCSamples(BaseSamples):
                 "samples"
             )
             return self
-        if beta == self.beta:
-            log_w = jnp.zeros(n)
-        else:
-            log_w = self.log_weights(beta)
         if key is None:
             rng = rng or np.random.default_rng()
             key = jax.random.key(int(rng.integers(2**31 - 1)))
-        idx = get_resampler(method)(key, log_w, n_samples)
+        same_beta = beta == self.beta
+        x, ll, lp, lq = _resample_on_device(
+            key,
+            self.x,
+            self.log_likelihood,
+            self.log_prior,
+            self.log_q,
+            jnp.asarray(self.beta, dtype=self.x.dtype),
+            jnp.asarray(beta, dtype=self.x.dtype),
+            n_samples=int(n_samples),
+            method=method,
+            uniform_weights=bool(same_beta),
+        )
         return self.__class__(
-            x=self.x[idx],
-            log_likelihood=self.log_likelihood[idx],
-            log_prior=self.log_prior[idx],
-            log_q=self.log_q[idx],
+            x=x,
+            log_likelihood=ll,
+            log_prior=lp,
+            log_q=lq,
             beta=beta,
             dtype=self.dtype,
             parameters=self.parameters,
