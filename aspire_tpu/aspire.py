@@ -350,7 +350,14 @@ class Aspire:
                 n_samples = self._resume_n_samples
 
         SamplerClass = self.get_sampler_class(sampler)
-        init_params = signature(SamplerClass.__init__).parameters
+        # Collect ctor params across the MRO: subclasses forward through
+        # *args/**kwargs, so the subclass signature alone misses base
+        # params like ``mesh``/``rng`` (they would be silently dropped).
+        init_params: dict = {}
+        for klass in SamplerClass.__mro__:
+            init = klass.__dict__.get("__init__")
+            if init is not None:
+                init_params.update(signature(init).parameters)
         sampler_init_kwargs = {
             k: v for k, v in kwargs.items() if k in init_params and k != "self"
         }

@@ -106,9 +106,13 @@ def fit_flow(
                 x_val = jax.device_put(x_val[:n_val_even], sharding)
 
     @jax.jit
-    def train_epoch(params, opt_state, x_train, key):
-        """One epoch: permute, scan over minibatches, return mean loss."""
-        perm_key, loss_key = jax.random.split(key)
+    def train_epoch(params, opt_state, x_train, x_val, key):
+        """One epoch: permute, scan over minibatches, validate.
+
+        Train + validation losses come back together, so each epoch is
+        one dispatch and one host fetch.
+        """
+        perm_key, loss_key, val_key = jax.random.split(key, 3)
         order = jax.random.permutation(perm_key, n_train)
         batches = x_train[order[: n_batches * batch_size]].reshape(
             n_batches, batch_size, -1
@@ -126,11 +130,12 @@ def fit_flow(
         (params, opt_state), losses = jax.lax.scan(
             step, (params, opt_state), (batches, batch_keys)
         )
-        return params, opt_state, jnp.mean(losses)
-
-    @jax.jit
-    def val_loss_fn(params, x_val, key):
-        return loss_fn(params, x_val, key)
+        train_loss = jnp.mean(losses)
+        if x_val.shape[0]:
+            val_loss = loss_fn(params, x_val, val_key)
+        else:
+            val_loss = train_loss
+        return params, opt_state, train_loss, val_loss
 
     history = FlowHistory()
     best_val = np.inf
@@ -138,15 +143,12 @@ def fit_flow(
     patience_counter = 0
 
     for epoch in range(config.n_epochs):
-        key, epoch_key, val_key = jax.random.split(key, 3)
-        params, opt_state, train_loss = train_epoch(
-            params, opt_state, x_train, epoch_key
+        key, epoch_key = jax.random.split(key)
+        params, opt_state, train_arr, val_arr = train_epoch(
+            params, opt_state, x_train, x_val, epoch_key
         )
-        history.training_loss.append(float(train_loss))
-        if n_val:
-            val_loss = float(val_loss_fn(params, x_val, val_key))
-        else:
-            val_loss = float(train_loss)
+        train_loss, val_loss = map(float, jax.device_get((train_arr, val_arr)))
+        history.training_loss.append(train_loss)
         history.validation_loss.append(val_loss)
 
         if val_loss < best_val - config.min_delta:

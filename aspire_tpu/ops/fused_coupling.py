@@ -375,7 +375,12 @@ def _pallas_apply(arch, mode: str, prepared, x, interpret=None):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n_dense = len(prepared) // 2
-    tile = min(_TILE, _round_up(n, 128))
+    # VMEM scales with (active dims) x (param-group rows) x tile: shrink
+    # the tile as dims grow so the spline live set stays under ~half of
+    # VMEM (d=4 keeps the full default tile; d=32 drops to 256 lanes).
+    rows = max(((d + 1) // 2) * _group_size(arch), 1)
+    tile_budget = max(128, (98_304 // rows) // 128 * 128)
+    tile = min(_TILE, tile_budget, _round_up(n, 128))
     grid = (pl.cdiv(n, tile),)
 
     kernel = functools.partial(_coupling_kernel, arch, mode, n_dense)

@@ -22,6 +22,7 @@ mutation is a single fused XLA computation. All kernels take and return a
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, NamedTuple
 
 import jax
@@ -47,6 +48,7 @@ class GaussianReference(NamedTuple):
     inv_chol: jax.Array  # (d, d)
 
 
+@functools.partial(jax.jit, static_argnames=("jitter",))
 def fit_gaussian_reference(
     x: jax.Array, jitter: float = 1e-6
 ) -> GaussianReference:

@@ -329,11 +329,19 @@ class Samples(BaseSamples):
         self.log_evidence = logsumexp(self.log_w) - math.log(n)
         self.weights = jnp.exp(self.log_w)
         self.evidence = jnp.exp(self.log_evidence)
+        # Delta-method relative error computed in max-shifted space: the
+        # raw form (weights - evidence)**2 underflows f32 whenever
+        # |logZ| >~ 44, silently reporting zero error. The shift cancels
+        # in the ratio sigma_Z / Z.
         # n*(n-1) as a float: the int product overflows int32 for n >= 2^16.
-        self.evidence_error = jnp.sqrt(
-            jnp.sum((self.weights - self.evidence) ** 2) / (n * (n - 1.0))
+        m = jnp.max(self.log_w)
+        u = jnp.exp(self.log_w - m)
+        u_mean = jnp.mean(u)
+        sigma_u = jnp.sqrt(jnp.sum((u - u_mean) ** 2) / (n * (n - 1.0)))
+        self.log_evidence_error = jnp.where(
+            u_mean > 0, sigma_u / u_mean, jnp.inf
         )
-        self.log_evidence_error = jnp.abs(self.evidence_error / self.evidence)
+        self.evidence_error = self.log_evidence_error * self.evidence
         self.effective_sample_size = effective_sample_size(
             self.log_w - jnp.max(self.log_w)
         )

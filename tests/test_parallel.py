@@ -115,3 +115,31 @@ class TestShardedSMC:
             sharding=particle_sharding(mesh),
         )
         assert history.training_loss[-1] < history.training_loss[0]
+
+
+def test_sample_posterior_routes_mesh_to_sampler(mesh):
+    """`mesh=` through the facade must reach the sampler ctor (it was
+    silently dropped when subclasses forward *args/**kwargs)."""
+    import numpy as np
+
+    from aspire_tpu import Aspire, Samples
+    from aspire_tpu.models import GaussianProblem
+
+    p = GaussianProblem(dims=2)
+    rng = np.random.default_rng(0)
+    asp = Aspire(
+        log_likelihood=p.log_likelihood,
+        log_prior=p.log_prior,
+        dims=2,
+        prior_bounds=p.prior_bounds,
+        seed=0,
+    )
+    asp.fit(Samples(rng.normal(size=(256, 2))), n_epochs=2)
+    samples = asp.sample_posterior(
+        sampler="smc",
+        n_samples=64,
+        mesh=mesh,
+        sampler_kwargs=dict(n_steps=2),
+    )
+    assert asp.sampler.mesh is mesh
+    assert len(samples) == 64

@@ -376,3 +376,35 @@ class TestOps:
     def test_ess_single(self):
         lw = jnp.concatenate([jnp.zeros(1), jnp.full(99, -jnp.inf)])
         assert float(effective_sample_size(lw)) == pytest.approx(1.0)
+
+
+def test_compute_weights_error_no_underflow_at_large_negative_logz():
+    """Relative evidence error must survive |logZ| >> 44 in f32.
+
+    Regression: the raw (weights - evidence)**2 form underflows and
+    silently reports zero error (found on the d=32 hierarchical run).
+    """
+    import jax.numpy as jnp
+
+    from aspire_tpu.samples import Samples
+
+    rng = np.random.default_rng(0)
+    n = 4096
+    s = Samples(
+        x=rng.normal(size=(n, 2)),
+        log_likelihood=jnp.asarray(
+            -500.0 + rng.normal(0, 0.5, size=n), jnp.float32
+        ),
+        log_prior=jnp.zeros(n, jnp.float32),
+        log_q=jnp.zeros(n, jnp.float32),
+    )
+    err = float(s.log_evidence_error)
+    assert np.isfinite(err) and err > 0
+    # Same spread shifted to logZ ~ 0 must give the same relative error.
+    s2 = Samples(
+        x=rng.normal(size=(n, 2)),
+        log_likelihood=s.log_likelihood + 500.0,
+        log_prior=jnp.zeros(n, jnp.float32),
+        log_q=jnp.zeros(n, jnp.float32),
+    )
+    assert err == pytest.approx(float(s2.log_evidence_error), rel=1e-3)
