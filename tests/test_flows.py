@@ -234,3 +234,19 @@ class TestFlowMatching:
         np.testing.assert_allclose(
             np.asarray(lp), np.asarray(expected), atol=1e-5
         )
+
+    def test_save_load_roundtrip(self, key, tmp_path):
+        import h5py
+        import jax.numpy as jnp
+
+        fm = FlowMatching(dims=2, key=1, n_hidden=(16,), n_steps=8)
+        x = jax.random.normal(key, (64, 2), jnp.float32)
+        lp = fm.log_prob(x)
+        path = tmp_path / "fm.h5"
+        with h5py.File(path, "w") as f:
+            fm.save(f)
+        with h5py.File(path, "r") as f:
+            fm2 = FlowMatching.load(f)
+        np.testing.assert_allclose(
+            np.asarray(fm2.log_prob(x)), np.asarray(lp), rtol=1e-5
+        )
