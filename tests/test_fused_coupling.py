@@ -115,3 +115,55 @@ def test_fused_kernel_in_jit_and_scan(arch, params):
     assert out.shape == x.shape
     assert lds.shape == (3,)
     assert np.isfinite(np.asarray(lds)).all()
+
+
+@pytest.mark.parametrize("mode", ["forward", "inverse"])
+def test_fused_extreme_params_and_boundary_inputs(mode):
+    """Adversarial check: saturated raw params + inputs at/over the
+    spline tails must match the XLA path and stay finite."""
+    arch = Coupling(dims=4, n_layers=2, n_hidden=(16, 16), transformer="rqs")
+    params = arch.init(jax.random.key(0))
+    params = jax.tree.map(
+        lambda p: p
+        + 3.0 * jax.random.normal(jax.random.key(9), p.shape, p.dtype),
+        params,
+    )
+    tb = arch.tail_bound
+    x = jnp.concatenate(
+        [
+            jax.random.normal(jax.random.key(10), (64, 4), jnp.float32),
+            jnp.full((8, 4), tb, jnp.float32),     # exactly at the tail
+            jnp.full((8, 4), -tb, jnp.float32),
+            jnp.full((8, 4), 3 * tb, jnp.float32),  # far outside (identity)
+            jnp.full((8, 4), -3 * tb, jnp.float32),
+            jnp.zeros((8, 4), jnp.float32),
+        ]
+    )
+    ref_fn = arch._forward_xla if mode == "forward" else arch._inverse_xla
+    y_ref, ld_ref = ref_fn(params, x)
+    y, ld = _pallas_apply(
+        arch, mode, prepare_params(arch, params), x, interpret=True
+    )
+    assert np.isfinite(np.asarray(y)).all()
+    assert np.isfinite(np.asarray(ld)).all()
+    np.testing.assert_allclose(y, y_ref, rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(ld, ld_ref, rtol=5e-3, atol=5e-3)
+
+
+def test_fused_large_dims_tile_scaling():
+    """d=32 (the VMEM-OOM regression case) stays correct with the
+    dims-scaled tile."""
+    arch = Coupling(dims=32, n_layers=2, n_hidden=(32, 32))
+    params = arch.init(jax.random.key(1))
+    params = jax.tree.map(
+        lambda p: p
+        + 0.1 * jax.random.normal(jax.random.key(2), p.shape, p.dtype),
+        params,
+    )
+    x = jax.random.normal(jax.random.key(3), (512, 32), jnp.float32)
+    y_ref, ld_ref = arch._forward_xla(params, x)
+    y, ld = _pallas_apply(
+        arch, "forward", prepare_params(arch, params), x, interpret=True
+    )
+    np.testing.assert_allclose(y, y_ref, rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(ld, ld_ref, rtol=1e-3, atol=1e-4)
