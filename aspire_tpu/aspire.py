@@ -290,9 +290,10 @@ class Aspire:
                 **preconditioning_kwargs,
             )
         elif preconditioning == "flow":
-            preconditioning_kwargs = dict(preconditioning_kwargs or {})
-            preconditioning_kwargs.setdefault("affine_transform", False)
-            transform = FlowPreconditioningTransform(
+            # Defaults inherited from the Aspire problem spec; anything
+            # the user passes in preconditioning_kwargs overrides them.
+            transform_kwargs = dict(
+                affine_transform=False,
                 parameters=self.parameters,
                 flow_backend=self.flow_backend,
                 flow_kwargs=self.flow_kwargs,
@@ -301,8 +302,9 @@ class Aspire:
                 bounded_to_unbounded=self.bounded_to_unbounded,
                 prior_bounds=self.prior_bounds,
                 dtype=self.dtype,
-                **preconditioning_kwargs,
             )
+            transform_kwargs.update(preconditioning_kwargs or {})
+            transform = FlowPreconditioningTransform(**transform_kwargs)
         else:
             raise ValueError(f"Unknown preconditioning: {preconditioning}")
 

@@ -23,19 +23,97 @@ from .bijectors import standard_normal_sample
 from .nets import apply_mlp, init_mlp
 
 
-class _VelocityField:
-    """Architecture-like shim exposing init for the velocity MLP."""
+import dataclasses
 
-    def __init__(self, dims: int, n_hidden, dtype):
-        self.dims = dims
-        self.n_hidden = list(n_hidden)
-        self.dtype = dtype
+
+@dataclasses.dataclass(frozen=True)
+class _VelocityField:
+    """Architecture shim: velocity MLP + fixed-step RK4 ODE transport.
+
+    Frozen/hashable so it can ride through jit boundaries as pytree aux
+    (e.g. inside FlowPreconditioningTransform). Exposes the same
+    ``init/forward/inverse`` surface as the discrete architectures.
+    """
+
+    dims: int
+    n_hidden: tuple
+    dtype: str
+    n_steps: int = 64
 
     def init(self, key):
         # Input: x (dims) + time embedding (2: t, 1-t).
         return init_mlp(
-            key, self.dims + 2, self.n_hidden, self.dims, dtype=self.dtype
+            key,
+            self.dims + 2,
+            list(self.n_hidden),
+            self.dims,
+            dtype=jnp.dtype(self.dtype),
         )
+
+    def forward(self, params, x):
+        """Data -> latent (t: 1 -> 0) with log-det accumulation."""
+        return _ode_integrate(
+            params, x, self.n_steps, forward=True
+        )
+
+    def inverse(self, params, z):
+        """Latent -> data (t: 0 -> 1)."""
+        return _ode_integrate(
+            params, z, self.n_steps, forward=False
+        )
+
+
+def _divergence(params, t, x):
+    """Exact divergence of v at each row of x."""
+
+    def v_single(xi):
+        return _velocity(params, t, xi[None, :])[0]
+
+    def div_single(xi):
+        jac = jax.jacfwd(v_single)(xi)
+        return jnp.trace(jac)
+
+    return jax.vmap(div_single)(x)
+
+
+def _rk4_step_with_div(params, t, dt, carry):
+    x, logp = carry
+
+    def f(t, state):
+        x, _ = state
+        return (
+            _velocity(params, t, x),
+            -_divergence(params, t, x),
+        )
+
+    k1 = f(t, (x, logp))
+    k2 = f(t + dt / 2, (x + dt / 2 * k1[0], logp))
+    k3 = f(t + dt / 2, (x + dt / 2 * k2[0], logp))
+    k4 = f(t + dt, (x + dt * k3[0], logp))
+    x_new = x + dt / 6 * (k1[0] + 2 * k2[0] + 2 * k3[0] + k4[0])
+    logp_new = logp + dt / 6 * (k1[1] + 2 * k2[1] + 2 * k3[1] + k4[1])
+    return x_new, logp_new
+
+
+def _ode_integrate(params, x, n_steps: int, forward: bool):
+    """RK4 transport with divergence accumulation under ``lax.scan``.
+
+    Returns ``(out, log_det)`` following the discrete-flow conventions
+    used by :class:`~aspire_tpu.flows.base.Flow` in each direction.
+    """
+    dt = (-1.0 if forward else 1.0) / n_steps
+    t0 = 1.0 if forward else 0.0
+
+    def step(carry, i):
+        t = t0 + i * dt
+        return _rk4_step_with_div(params, t, dt, carry), None
+
+    (out, delta), _ = jax.lax.scan(
+        step,
+        (x, jnp.zeros(x.shape[0], dtype=x.dtype)),
+        jnp.arange(n_steps),
+    )
+    return out, -delta
 
 
 def _velocity(params, t, x):
@@ -64,7 +142,9 @@ class FlowMatching(Flow):
         self.dims = dims
         self.dtype = jnp.dtype(dtype)
         self._architecture_name = "flow_matching"
-        self.architecture = _VelocityField(dims, n_hidden, self.dtype)
+        self.architecture = _VelocityField(
+            dims, tuple(n_hidden), str(self.dtype), n_steps
+        )
         self._architecture_kwargs = {
             "n_hidden": list(n_hidden),
             "n_steps": n_steps,
@@ -80,8 +160,13 @@ class FlowMatching(Flow):
         self._key, init_key = jax.random.split(self._key)
         self.params = self.architecture.init(init_key)
 
-        self._latent_log_prob = jax.jit(self._ode_forward)
-        self._latent_inverse = jax.jit(self._ode_inverse)
+        arch = self.architecture
+        self._latent_log_prob = jax.jit(
+            lambda params, x: arch.forward(params, x)
+        )
+        self._latent_inverse = jax.jit(
+            lambda params, z: arch.inverse(params, z)
+        )
 
     def config_dict(self) -> dict:
         return {
@@ -93,84 +178,6 @@ class FlowMatching(Flow):
                 "n_steps": self.n_steps,
             },
         }
-
-    # -- ODE integration ---------------------------------------------------
-
-    def _rk4_step(self, params, t, dt, x):
-        k1 = _velocity(params, t, x)
-        k2 = _velocity(params, t + dt / 2, x + dt / 2 * k1)
-        k3 = _velocity(params, t + dt / 2, x + dt / 2 * k2)
-        k4 = _velocity(params, t + dt, x + dt * k3)
-        return x + dt / 6 * (k1 + 2 * k2 + 2 * k3 + k4)
-
-    def _divergence(self, params, t, x):
-        """Exact divergence of v at each row of x."""
-
-        def v_single(xi):
-            return _velocity(params, t, xi[None, :])[0]
-
-        def div_single(xi):
-            jac = jax.jacfwd(v_single)(xi)
-            return jnp.trace(jac)
-
-        return jax.vmap(div_single)(x)
-
-    def _rk4_step_with_div(self, params, t, dt, carry):
-        x, logp = carry
-
-        def f(t, state):
-            x, _ = state
-            return (
-                _velocity(params, t, x),
-                -self._divergence(params, t, x),
-            )
-
-        k1 = f(t, (x, logp))
-        k2 = f(t + dt / 2, (x + dt / 2 * k1[0], logp))
-        k3 = f(t + dt / 2, (x + dt / 2 * k2[0], logp))
-        k4 = f(t + dt, (x + dt * k3[0], logp))
-        x_new = x + dt / 6 * (k1[0] + 2 * k2[0] + 2 * k3[0] + k4[0])
-        logp_new = logp + dt / 6 * (k1[1] + 2 * k2[1] + 2 * k3[1] + k4[1])
-        return x_new, logp_new
-
-    def _ode_forward(self, params, x):
-        """Data -> latent (t: 1 -> 0) with log-det accumulation.
-
-        Returns (z, log_det) where log q(x) = log N(z) + log_det, matching
-        the discrete-flow convention used by :class:`Flow`.
-        """
-        dt = -1.0 / self.n_steps
-
-        def step(carry, i):
-            t = 1.0 + i * dt
-            return self._rk4_step_with_div(params, t, dt, carry), None
-
-        (z, delta), _ = jax.lax.scan(
-            step,
-            (x, jnp.zeros(x.shape[0], dtype=x.dtype)),
-            jnp.arange(self.n_steps),
-        )
-        # delta = +int_0^1 div v dt along the trajectory; the Flow
-        # convention is log q(x) = log N(z) + log_det, and the
-        # change-of-variables gives log q(x) = log N(z) - int_0^1 div dt.
-        return z, -delta
-
-    def _ode_inverse(self, params, z):
-        """Latent -> data (t: 0 -> 1)."""
-        dt = 1.0 / self.n_steps
-
-        def step(carry, i):
-            t = i * dt
-            return self._rk4_step_with_div(params, t, dt, carry), None
-
-        (x, delta), _ = jax.lax.scan(
-            step,
-            (z, jnp.zeros(z.shape[0], dtype=z.dtype)),
-            jnp.arange(self.n_steps),
-        )
-        # delta = -int_0^1 div dt; Flow convention for the sampling pass is
-        # log q = log N(z) - log_det with log_det = log|dx/dz| = -delta.
-        return x, -delta
 
     # -- training ----------------------------------------------------------
 

@@ -593,10 +593,17 @@ class FlowPreconditioningTransform(BaseTransform):
 
     ``fit`` trains a fresh flow on the current particles; forward maps to
     the flow's latent space. Reference transforms.py:649-748.
+
+    Pytree contract: the *fitted* state (inner-flow params + its data
+    transform) are children and the architecture config is hashable aux,
+    so a fitted instance passes through jit/shard_map boundaries — the
+    SMC mutation chain evaluates the transport map on device. Instances
+    reconstructed from flattening only support forward/inverse (config
+    attributes live on the original object).
     """
 
-    pytree_children = ()
-    pytree_aux = ("dtype",)
+    pytree_children = ("_params", "_inner_data_transform")
+    pytree_aux = ("dtype", "_arch")
 
     def __init__(
         self,
@@ -626,6 +633,9 @@ class FlowPreconditioningTransform(BaseTransform):
         self.flow_kwargs = dict(flow_kwargs or {})
         self.fit_kwargs = dict(fit_kwargs or {})
         self.flow = None
+        self._params = None
+        self._inner_data_transform = None
+        self._arch = None
 
     def _make_data_transform(self):
         return CompositeTransform(
@@ -651,17 +661,25 @@ class FlowPreconditioningTransform(BaseTransform):
             **self.flow_kwargs,
         )
         self.flow.fit(x, **self.fit_kwargs)
+        # Functional state for jit traversal (pytree children/aux).
+        self._params = self.flow.params
+        self._inner_data_transform = self.flow.data_transform
+        self._arch = self.flow.architecture
         return self.flow.forward(x)[0]
 
     def forward(self, x):
-        if self.flow is None:
+        if getattr(self, "_params", None) is None:
             raise RuntimeError("FlowPreconditioningTransform is not fitted")
-        return self.flow.forward(x)
+        x_t, log_j = self._inner_data_transform.forward(x)
+        z, log_det = self._arch.forward(self._params, x_t)
+        return z, log_det + log_j
 
     def inverse(self, y):
-        if self.flow is None:
+        if getattr(self, "_params", None) is None:
             raise RuntimeError("FlowPreconditioningTransform is not fitted")
-        return self.flow.inverse(y)
+        x_t, log_det = self._arch.inverse(self._params, y)
+        x, log_j = self._inner_data_transform.inverse(x_t)
+        return x, log_det + log_j
 
     def config_dict(self):
         return super().config_dict() | {

@@ -200,3 +200,27 @@ def test_sample_flow(fitted_aspire):
     samples = fitted_aspire.sample_flow(100)
     assert len(samples) == 100
     assert samples.log_q is not None
+
+
+@pytest.mark.parametrize("preconditioning", [None, "standard", "flow"])
+def test_smc_preconditioning_modes(fitted_aspire, preconditioning):
+    """The three preconditioning modes (reference aspire.py:330-368)
+    all run end-to-end and keep logZ within MC error."""
+    asp = fitted_aspire
+    kwargs = {}
+    if preconditioning == "flow":
+        kwargs["preconditioning_kwargs"] = {
+            "fit_kwargs": {"n_epochs": 3},
+            "flow_kwargs": {"n_layers": 2},
+        }
+    samples = asp.sample_posterior(
+        sampler="smc",
+        n_samples=400,
+        preconditioning=preconditioning,
+        sampler_kwargs=dict(n_steps=5),
+        **kwargs,
+    )
+    assert len(samples) == 400
+    assert float(samples.log_evidence) == pytest.approx(
+        TRUE_LOG_Z, abs=1.0
+    )
