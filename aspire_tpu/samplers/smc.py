@@ -114,6 +114,60 @@ def _ess_at(delta, beta_prev, beta):
     return effective_sample_size((beta - beta_prev) * delta)
 
 
+@partial(jax.jit, static_argnames=("adaptive", "adaptive_min_step"))
+def _iteration_stats(
+    log_l,
+    log_pi,
+    log_q,
+    beta_prev,
+    beta_fixed,
+    target_eff,
+    tol,
+    min_beta_step,
+    max_beta_step,
+    *,
+    adaptive,
+    adaptive_min_step,
+):
+    """Everything the SMC host loop needs per temperature, in ONE call.
+
+    Bundles the incremental-weight construction, the adaptive-beta
+    bisection with its step clamps, both ESS evaluations, and the
+    per-step evidence ratio + variance, returning seven scalars fetched
+    with a single device round-trip (the previous eager chain cost ~5
+    round-trips per iteration on remote backends).
+    """
+    delta = log_l + log_pi - log_q
+    if adaptive:
+        beta_star = _bisect_beta(delta, beta_prev, target_eff, tol)
+        if adaptive_min_step:
+            min_step = jnp.where(
+                beta_star < 1.0,
+                min_beta_step * (1 - beta_prev) / (1 - beta_star),
+                min_beta_step,
+            )
+        else:
+            min_step = jnp.asarray(min_beta_step, dtype=delta.dtype)
+        beta = jnp.maximum(beta_star, beta_prev + min_step)
+        beta = jnp.minimum(
+            jnp.minimum(beta, beta_prev + max_beta_step), 1.0
+        )
+    else:
+        beta_star = beta = jnp.asarray(beta_fixed, dtype=delta.dtype)
+        min_step = jnp.asarray(min_beta_step, dtype=delta.dtype)
+
+    ess = effective_sample_size((beta - beta_prev) * delta)
+    ess_at_one = effective_sample_size((1.0 - beta_prev) * delta)
+    log_w = (beta - beta_prev) * delta
+    n = log_w.shape[0]
+    m = jnp.max(log_w)
+    u = jnp.exp(log_w - m)
+    mean_u = jnp.mean(u)
+    ratio = m + jnp.log(mean_u)
+    var = jnp.var(u) / (n * mean_u**2)
+    return beta, min_step, beta_star, ess, ess_at_one, ratio, var
+
+
 # ---------------------------------------------------------------------------
 # SMC driver
 # ---------------------------------------------------------------------------
@@ -286,36 +340,24 @@ class SMCSampler(Sampler):
             ref = K.fit_gaussian_reference(z)
         key = self.next_key()
 
-        with self.profiler.phase("mutate/chain"):
-            if jittable:
-                final_state = self._mutate_on_device(
+        if jittable:
+            # Chain + density refresh + diagnostics are ONE jitted
+            # computation with ONE host fetch (remote backends pay a
+            # round-trip per dispatch).
+            with self.profiler.phase("mutate/chain"):
+                (
+                    _final,
+                    x,
+                    log_q,
+                    log_pi,
+                    log_l,
+                    acc_arr,
+                    any_nan_q,
+                ) = self._mutate_on_device(
                     flow_params, precond, z, beta_arr, key, n_steps, kwargs
                 )
-            else:
-                final_state = self._mutate_host(
-                    flow_params,
-                    precond,
-                    z,
-                    beta_arr,
-                    key,
-                    n_steps,
-                    kwargs,
-                    ref,
-                )
-        # Count likelihood evaluations done inside the chain.
-        self.n_likelihood_evaluations += n_steps * z.shape[0]
-
-        if jittable:
-            # One jitted computation: invert preconditioning + refresh
-            # log_q / log_prior / log_likelihood (eagerly chaining these
-            # costs a host round-trip per op on remote backends), and
-            # ONE host fetch for the acceptance + NaN scalars.
-            x, log_q, log_pi, log_l, any_nan_q = self._refresh_densities(
-                flow_params, precond, final_state.x
-            )
-            self.n_likelihood_evaluations += int(x.shape[0])
+            self.n_likelihood_evaluations += (n_steps + 1) * z.shape[0]
             with self.profiler.phase("mutate/sync"):
-                acc_arr = jnp.mean(final_state.n_accept / max(n_steps, 1))
                 acceptance, nan_q = jax.device_get((acc_arr, any_nan_q))
             self.history.mcmc_acceptance.append(float(acceptance))
             new = SMCSamples(
@@ -330,6 +372,20 @@ class SMCSampler(Sampler):
             if bool(nan_q):
                 raise ValueError("Log proposal contains NaN values")
             return new
+
+        with self.profiler.phase("mutate/chain"):
+            final_state = self._mutate_host(
+                flow_params,
+                precond,
+                z,
+                beta_arr,
+                key,
+                n_steps,
+                kwargs,
+                ref,
+            )
+        # Count likelihood evaluations done inside the chain.
+        self.n_likelihood_evaluations += n_steps * z.shape[0]
 
         with self.profiler.phase("mutate/sync"):
             acceptance = float(
@@ -351,29 +407,6 @@ class SMCSampler(Sampler):
             raise ValueError("Log proposal contains NaN values")
         return new
 
-    def _refresh_densities(self, flow_params, precond, z_final):
-        """Cached jitted post-mutation refresh (jittable targets only)."""
-        if "refresh" not in self._mutate_cache:
-            flow_log_prob, _ = self.flow_log_prob_params()
-            log_likelihood = self.log_likelihood
-            log_prior = self.log_prior
-            make_view = self._make_view
-
-            @jax.jit
-            def refresh_fn(flow_params, precond, z):
-                if precond is None:
-                    x = z
-                else:
-                    x, _ = precond.inverse(z)
-                log_q = flow_log_prob(flow_params, x)
-                view = make_view(x)
-                log_pi = jnp.asarray(log_prior(view)).reshape(-1)
-                log_l = jnp.asarray(log_likelihood(view)).reshape(-1)
-                return x, log_q, log_pi, log_l, jnp.isnan(log_q).any()
-
-            self._mutate_cache["refresh"] = refresh_fn
-        return self._mutate_cache["refresh"](flow_params, precond, z_final)
-
     def _mutate_on_device(
         self, flow_params, precond, z, beta, key, n_steps, kwargs
     ):
@@ -382,6 +415,10 @@ class SMCSampler(Sampler):
         if cache_key not in self._mutate_cache:
             tempered = self.make_tempered_log_prob()
             builder = self._kernel_step_builder
+            flow_log_prob, _ = self.flow_log_prob_params()
+            log_likelihood = self.log_likelihood
+            log_prior = self.log_prior
+            make_view = self._make_view
 
             @partial(jax.jit, static_argnames=("n_steps",))
             def mutate_fn(flow_params, precond, z, beta, key, n_steps):
@@ -403,7 +440,19 @@ class SMCSampler(Sampler):
                     grad=grad,
                 )
                 final, _ = K.run_chain(step_fn, state, n_steps)
-                return final
+                # Post-chain density refresh fused into the same program
+                # (one dispatch per mutation, not two).
+                if precond is None:
+                    x = final.x
+                else:
+                    x, _ = precond.inverse(final.x)
+                log_q = flow_log_prob(flow_params, x)
+                view = make_view(x)
+                log_pi = jnp.asarray(log_prior(view)).reshape(-1)
+                log_l = jnp.asarray(log_likelihood(view)).reshape(-1)
+                acceptance = jnp.mean(final.n_accept / max(n_steps, 1))
+                any_nan_q = jnp.isnan(log_q).any()
+                return final, x, log_q, log_pi, log_l, acceptance, any_nan_q
 
             self._mutate_cache[cache_key] = mutate_fn
         return self._mutate_cache[cache_key](
@@ -572,19 +621,55 @@ class SMCSampler(Sampler):
         if run_smc_loop:
             while True:
                 iterations += 1
-                delta = (
-                    samples.log_likelihood
-                    + samples.log_prior
-                    - samples.log_q
+                beta_prev = samples.beta
+                target_eff = float(
+                    self.current_target_efficiency(beta_prev)
                 )
+                beta_fixed = min(beta + beta_step, 1.0)
                 with self.profiler.phase("determine_beta"):
-                    beta, min_beta_step = self.determine_beta(
-                        delta,
-                        beta,
-                        beta_step,
+                    stats = _iteration_stats(
+                        samples.log_likelihood,
+                        samples.log_prior,
+                        samples.log_q,
+                        beta_prev,
+                        beta_fixed,
+                        target_eff,
+                        beta_tolerance,
                         min_beta_step,
-                        max_beta_step=max_beta_step,
-                        beta_tolerance=beta_tolerance,
+                        max_beta_step,
+                        adaptive=self.adaptive,
+                        adaptive_min_step=self.adaptive_min_beta_step,
+                    )
+                    (
+                        beta,
+                        min_beta_step,
+                        beta_star,
+                        ess,
+                        ess_at_one,
+                        ratio,
+                        var,
+                    ) = map(float, jax.device_get(stats))
+                if (
+                    self.adaptive
+                    and beta_star <= beta_prev + beta_tolerance
+                    and beta_prev < 1.0
+                ):
+                    logger.warning(
+                        "Adaptive beta search could not find a beta above "
+                        "%.6g that satisfies the target efficiency %.3f "
+                        "within tolerance %.1e; beta may remain unchanged.",
+                        beta_prev,
+                        target_eff,
+                        beta_tolerance,
+                    )
+                if beta == beta_prev:
+                    raise BetaScheduleError(
+                        f"Beta did not increase from previous value "
+                        f"{beta:.6g}. Adaptive beta search may have failed "
+                        f"to find a suitable beta. Consider adjusting "
+                        f"beta_tolerance ({beta_tolerance}), min_beta_step "
+                        f"({min_beta_step}) or target_efficiency "
+                        f"({target_eff})."
                     )
                 self.history.eff_target.append(
                     float(self.current_target_efficiency(beta))
@@ -592,8 +677,6 @@ class SMCSampler(Sampler):
                 logger.info("it %d - beta: %s", iterations, beta)
                 self.history.beta.append(float(beta))
 
-                beta_prev = samples.beta
-                ess = float(_ess_at(delta, beta_prev, beta))
                 eff = ess / len(samples)
                 if eff < 0.1:
                     logger.warning(
@@ -608,12 +691,8 @@ class SMCSampler(Sampler):
                     ess,
                     eff,
                 )
-                self.history.ess_target.append(
-                    float(_ess_at(delta, beta_prev, 1.0))
-                )
+                self.history.ess_target.append(ess_at_one)
 
-                ratio, var = _evidence_ratio_and_var(delta, beta_prev, beta)
-                ratio, var = float(ratio), float(var)
                 self.history.log_norm_ratio.append(ratio)
                 self.history.log_norm_ratio_var.append(var)
                 logger.info(
