@@ -308,6 +308,10 @@ class Aspire:
         else:
             raise ValueError(f"Unknown preconditioning: {preconditioning}")
 
+        if self.seed is not None:
+            # Distinct stream from the flow's key (which uses self.seed)
+            # so proposal sampling and kernel randomness never collide.
+            kwargs.setdefault("rng", self.seed + 1)
         return SamplerClass(
             log_likelihood=self.log_likelihood,
             log_prior=self.log_prior,

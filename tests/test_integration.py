@@ -224,3 +224,18 @@ def test_smc_preconditioning_modes(fitted_aspire, preconditioning):
     assert float(samples.log_evidence) == pytest.approx(
         TRUE_LOG_Z, abs=1.0
     )
+
+
+def test_seeded_runs_reproducible(fitted_aspire):
+    """Same Aspire seed -> identical posterior draws across runs."""
+    import copy
+
+    results = []
+    for _ in range(2):
+        asp = copy.copy(fitted_aspire)
+        asp.seed = 123
+        s = asp.sample_posterior(
+            sampler="smc", n_samples=128, sampler_kwargs=dict(n_steps=3)
+        )
+        results.append(np.asarray(s.x))
+    np.testing.assert_array_equal(results[0], results[1])
