@@ -364,8 +364,24 @@ class Aspire:
             init = klass.__dict__.get("__init__")
             if init is not None:
                 init_params.update(signature(init).parameters)
+        # Arguments init_sampler supplies itself must not be routable
+        # (they would arrive twice and raise TypeError).
+        reserved = {
+            "self",
+            "args",
+            "kwargs",
+            "log_likelihood",
+            "log_prior",
+            "dims",
+            "prior_flow",
+            "dtype",
+            "preconditioning_transform",
+            "parameters",
+        }
         sampler_init_kwargs = {
-            k: v for k, v in kwargs.items() if k in init_params and k != "self"
+            k: v
+            for k, v in kwargs.items()
+            if k in init_params and k not in reserved
         }
         kwargs = {
             k: v for k, v in kwargs.items() if k not in sampler_init_kwargs

@@ -75,10 +75,26 @@ def should_fuse(arch, x) -> bool:
         return False
     if arch.transformer == "rqs" and arch.num_bins > 32:
         return False
+    if _weight_bytes(arch) > 8 * 1024 * 1024:
+        # All layer weights must be VMEM-resident in the kernel; very
+        # wide/deep configs would fail Mosaic allocation where the XLA
+        # path still works.
+        return False
     try:
         return jax.default_backend() == "tpu"
     except Exception:  # pragma: no cover - no backend at all
         return False
+
+
+def _weight_bytes(arch) -> int:
+    """f32 bytes of the stacked, VMEM-resident conditioner weights."""
+    d = arch.dims
+    a = (d + 1) // 2
+    sizes = [d] + list(arch.n_hidden) + [a * _group_size(arch)]
+    per_layer = sum(
+        sizes[i] * sizes[i + 1] + sizes[i + 1] for i in range(len(sizes) - 1)
+    )
+    return 4 * arch.n_layers * per_layer
 
 
 # ---------------------------------------------------------------------------
@@ -154,21 +170,18 @@ def prepare_params(arch, params: dict) -> list[jax.Array]:
 # ---------------------------------------------------------------------------
 
 
-def _cumsum_rows(a, K: int, *, in_kernel: bool = True):
+def _cumsum_rows(a, K: int):
     """Inclusive prefix sum over axis 1 of ``(d, K, T)``.
 
     Log-step shift-and-add over the sublane (bin) axis: ``ceil(log2 K)``
     rolls instead of K single-sublane slices — the rolls lower to cheap
-    vector shifts in Mosaic.
+    vector shifts in Mosaic (and have an interpret-mode implementation).
     """
     row = jax.lax.broadcasted_iota(jnp.int32, (1, K, 1), 1)
     c = a
     s = 1
     while s < K:
-        if in_kernel:
-            shifted = pltpu.roll(c, s, 1)
-        else:  # jnp fallback for the interpret/reference path
-            shifted = jnp.roll(c, s, axis=1)
+        shifted = pltpu.roll(c, s, 1)
         c = c + jnp.where(row >= s, shifted, jnp.zeros_like(c))
         s *= 2
     return c

@@ -96,22 +96,33 @@ def _bisect_beta(delta, beta_prev, target_eff, tol):
     return beta_min
 
 
-@jax.jit
-def _evidence_ratio_and_var(delta, beta_prev, beta):
-    """Per-step logZ ratio + delta-method variance (samples.py:1226-1242)."""
-    log_w = (beta - beta_prev) * delta
-    n = log_w.shape[0]
-    m = jnp.max(log_w)
-    u = jnp.exp(log_w - m)
-    mean_u = jnp.mean(u)
-    ratio = m + jnp.log(mean_u)
-    var = jnp.var(u) / (n * mean_u**2)
-    return ratio, var
-
-
-@jax.jit
-def _ess_at(delta, beta_prev, beta):
-    return effective_sample_size((beta - beta_prev) * delta)
+def _check_beta_progress(
+    beta, beta_star, beta_prev, target_eff, beta_tolerance, min_beta_step,
+    adaptive,
+):
+    """Shared warn/raise semantics for the adaptive ladder
+    (reference smc/base.py:160-213)."""
+    if (
+        adaptive
+        and beta_star <= beta_prev + beta_tolerance
+        and beta_prev < 1.0
+    ):
+        logger.warning(
+            "Adaptive beta search could not find a beta above %.6g that "
+            "satisfies the target efficiency %.3f within tolerance %.1e; "
+            "beta may remain unchanged.",
+            beta_prev,
+            target_eff,
+            beta_tolerance,
+        )
+    if beta == beta_prev:
+        raise BetaScheduleError(
+            f"Beta did not increase from previous value {beta:.6g}. "
+            "Adaptive beta search may have failed to find a suitable "
+            f"beta. Consider adjusting beta_tolerance ({beta_tolerance}), "
+            f"min_beta_step ({min_beta_step}) or target_efficiency "
+            f"({target_eff})."
+        )
 
 
 @partial(jax.jit, static_argnames=("adaptive", "adaptive_min_step"))
@@ -233,38 +244,42 @@ class SMCSampler(Sampler):
         max_beta_step: float = 1.0,
         beta_tolerance: float = DEFAULT_BETA_TOLERANCE,
     ) -> tuple[float, float]:
-        """Next beta; parity with reference smc/base.py:123-213."""
-        if not self.adaptive:
-            beta = min(beta + beta_step, 1.0)
-            return beta, min_beta_step
+        """Next beta; parity with reference smc/base.py:123-213.
 
+        Thin wrapper over :func:`_iteration_stats` (which the sampling
+        loop uses directly so the whole per-iteration scalar bundle is
+        one device call).
+        """
+        delta = jnp.asarray(delta)
         beta_prev = beta
-        target_eff = self.current_target_efficiency(beta_prev)
-        beta_star = float(
-            _bisect_beta(delta, beta_prev, target_eff, beta_tolerance)
+        target_eff = float(self.current_target_efficiency(beta_prev))
+        zeros = jnp.zeros_like(delta)
+        stats = _iteration_stats(
+            delta,
+            zeros,
+            zeros,
+            beta_prev,
+            min(beta + beta_step, 1.0),
+            target_eff,
+            beta_tolerance,
+            min_beta_step,
+            max_beta_step,
+            adaptive=self.adaptive,
+            adaptive_min_step=self.adaptive_min_beta_step,
         )
-        if beta_star <= beta_prev + beta_tolerance and beta_prev < 1.0:
-            logger.warning(
-                "Adaptive beta search could not find a beta above %.6g "
-                "that satisfies the target efficiency %.3f within "
-                "tolerance %.1e; beta may remain unchanged.",
-                beta_prev,
-                target_eff,
-                beta_tolerance,
-            )
-        if self.adaptive_min_beta_step and beta_star < 1.0:
-            min_beta_step = min_beta_step * (1 - beta_prev) / (1 - beta_star)
-        beta = max(beta_star, beta_prev + min_beta_step)
-        beta = min(beta, beta_prev + max_beta_step, 1.0)
-        if beta == beta_prev:
-            raise BetaScheduleError(
-                f"Beta did not increase from previous value {beta:.6g}. "
-                "Adaptive beta search may have failed to find a suitable "
-                f"beta. Consider adjusting beta_tolerance "
-                f"({beta_tolerance}), min_beta_step ({min_beta_step}) or "
-                f"target_efficiency ({target_eff})."
-            )
-        return beta, min_beta_step
+        beta_new, min_step, beta_star = map(
+            float, jax.device_get(stats[:3])
+        )
+        _check_beta_progress(
+            beta_new,
+            beta_star,
+            beta_prev,
+            target_eff,
+            beta_tolerance,
+            min_step,
+            self.adaptive,
+        )
+        return beta_new, min_step
 
     # -- tempered target ----------------------------------------------------
 
@@ -336,8 +351,6 @@ class SMCSampler(Sampler):
         precond = self.preconditioning_transform
         beta_arr = jnp.asarray(beta, dtype=z.dtype)
 
-        with self.profiler.phase("mutate/fit_reference"):
-            ref = K.fit_gaussian_reference(z)
         key = self.next_key()
 
         if jittable:
@@ -346,19 +359,21 @@ class SMCSampler(Sampler):
             # round-trip per dispatch).
             with self.profiler.phase("mutate/chain"):
                 (
-                    _final,
                     x,
                     log_q,
                     log_pi,
                     log_l,
                     acc_arr,
                     any_nan_q,
+                    any_nan_target,
                 ) = self._mutate_on_device(
                     flow_params, precond, z, beta_arr, key, n_steps, kwargs
                 )
             self.n_likelihood_evaluations += (n_steps + 1) * z.shape[0]
             with self.profiler.phase("mutate/sync"):
-                acceptance, nan_q = jax.device_get((acc_arr, any_nan_q))
+                acceptance, nan_q, nan_target = jax.device_get(
+                    (acc_arr, any_nan_q, any_nan_target)
+                )
             self.history.mcmc_acceptance.append(float(acceptance))
             new = SMCSamples(
                 x=x,
@@ -371,8 +386,15 @@ class SMCSampler(Sampler):
             new.log_likelihood = log_l
             if bool(nan_q):
                 raise ValueError("Log proposal contains NaN values")
+            if bool(nan_target):
+                raise ValueError(
+                    "log_prior/log_likelihood returned NaN for mutated "
+                    "particles (return -inf for invalid points instead)"
+                )
             return new
 
+        with self.profiler.phase("mutate/fit_reference"):
+            ref = K.fit_gaussian_reference(z)
         with self.profiler.phase("mutate/chain"):
             final_state = self._mutate_host(
                 flow_params,
@@ -452,7 +474,18 @@ class SMCSampler(Sampler):
                 log_l = jnp.asarray(log_likelihood(view)).reshape(-1)
                 acceptance = jnp.mean(final.n_accept / max(n_steps, 1))
                 any_nan_q = jnp.isnan(log_q).any()
-                return final, x, log_q, log_pi, log_l, acceptance, any_nan_q
+                any_nan_target = (
+                    jnp.isnan(log_pi).any() | jnp.isnan(log_l).any()
+                )
+                return (
+                    x,
+                    log_q,
+                    log_pi,
+                    log_l,
+                    acceptance,
+                    any_nan_q,
+                    any_nan_target,
+                )
 
             self._mutate_cache[cache_key] = mutate_fn
         return self._mutate_cache[cache_key](
@@ -649,28 +682,15 @@ class SMCSampler(Sampler):
                         ratio,
                         var,
                     ) = map(float, jax.device_get(stats))
-                if (
-                    self.adaptive
-                    and beta_star <= beta_prev + beta_tolerance
-                    and beta_prev < 1.0
-                ):
-                    logger.warning(
-                        "Adaptive beta search could not find a beta above "
-                        "%.6g that satisfies the target efficiency %.3f "
-                        "within tolerance %.1e; beta may remain unchanged.",
-                        beta_prev,
-                        target_eff,
-                        beta_tolerance,
-                    )
-                if beta == beta_prev:
-                    raise BetaScheduleError(
-                        f"Beta did not increase from previous value "
-                        f"{beta:.6g}. Adaptive beta search may have failed "
-                        f"to find a suitable beta. Consider adjusting "
-                        f"beta_tolerance ({beta_tolerance}), min_beta_step "
-                        f"({min_beta_step}) or target_efficiency "
-                        f"({target_eff})."
-                    )
+                _check_beta_progress(
+                    beta,
+                    beta_star,
+                    beta_prev,
+                    target_eff,
+                    beta_tolerance,
+                    min_beta_step,
+                    self.adaptive,
+                )
                 self.history.eff_target.append(
                     float(self.current_target_efficiency(beta))
                 )

@@ -1,4 +1,7 @@
 """Drive mid-ladder checkpoint/resume on TPU through the public API."""
+import os, sys
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
 import sys
 import numpy as np
 from aspire_tpu import Aspire, Samples, configure_logger

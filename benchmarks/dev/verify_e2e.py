@@ -1,4 +1,7 @@
 """End-to-end drive: Aspire facade, NSF flow, tempered SMC on TPU."""
+import os, sys
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
 import os, sys, time
 import numpy as np
 import jax
