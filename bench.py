@@ -148,7 +148,7 @@ def correctness_anchor() -> dict:
     )
     asp.fit(init, n_epochs=20, batch_size=512, learning_rate=3e-3)
     samples = asp.sample_posterior(
-        sampler="smc", n_samples=1024, sampler_kwargs=dict(n_steps=20)
+        sampler="smc", n_samples=8192, sampler_kwargs=dict(n_steps=20)
     )
     # Analytic: Z = 0.5 N(mu1; 0, (0.5+1) I) + 0.5 N(mu2; 0, (1+1) I).
     d = 4
