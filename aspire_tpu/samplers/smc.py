@@ -492,6 +492,275 @@ class SMCSampler(Sampler):
             flow_params, precond, z, beta, key, n_steps=n_steps
         )
 
+    # -- fully on-device ladder ----------------------------------------------
+
+    def _run_device_ladder(
+        self,
+        samples: SMCSamples,
+        *,
+        min_beta_step: float,
+        max_beta_step: float,
+        beta_tolerance: float,
+        max_iters: int,
+        checkpoint_callback=None,
+    ) -> tuple[SMCSamples, int]:
+        """Run the whole adaptive ladder as ONE compiled while_loop.
+
+        Validations narrow this fast path to the cases it supports; the
+        host ladder remains the general (and default) driver.
+        """
+        if not self.adaptive:
+            raise ValueError("device_ladder requires adaptive=True")
+        if self.preconditioning_transform is not None:
+            raise ValueError(
+                "device_ladder does not support preconditioning "
+                "transforms; use preconditioning=None"
+            )
+        if not self.target_is_jittable():
+            raise ValueError(
+                "device_ladder requires a jit-traceable "
+                "log_likelihood/log_prior"
+            )
+        if checkpoint_callback is not None:
+            logger.warning(
+                "device_ladder runs the whole ladder in one dispatch; "
+                "per-iteration checkpoints are skipped (a final "
+                "checkpoint is still written)."
+            )
+        n_steps = int(
+            self.sampler_kwargs.get("n_steps") or 5 * self.dims
+        )
+        if self._adaptive_target_efficiency:
+            eff_lo, eff_hi = self._target_efficiency
+        else:
+            eff_lo = eff_hi = float(self._target_efficiency)
+
+        ladder = self._build_device_ladder(n_steps, max_iters)
+        out = ladder(
+            self.prior_flow.params,
+            samples.x,
+            samples.log_likelihood,
+            samples.log_prior,
+            samples.log_q,
+            self.next_key(),
+            jnp.asarray(min_beta_step, dtype=samples.x.dtype),
+            jnp.asarray(max_beta_step, dtype=samples.x.dtype),
+            jnp.asarray(beta_tolerance, dtype=samples.x.dtype),
+            jnp.asarray(eff_lo, dtype=samples.x.dtype),
+            jnp.asarray(eff_hi, dtype=samples.x.dtype),
+            jnp.asarray(
+                self.target_efficiency_rate, dtype=samples.x.dtype
+            ),
+        )
+        # One host fetch for every scalar + history buffer.
+        scalars = jax.device_get(
+            (
+                out["beta"],
+                out["it"],
+                out["stalled"],
+                out["beta_h"],
+                out["ess_h"],
+                out["ess1_h"],
+                out["ratio_h"],
+                out["var_h"],
+                out["acc_h"],
+            )
+        )
+        beta, it, stalled, beta_h, ess_h, ess1_h, ratio_h, var_h, acc_h = (
+            scalars
+        )
+        it = int(it)
+        if bool(stalled):
+            raise BetaScheduleError(
+                "Device ladder stalled: beta did not increase. Consider "
+                f"adjusting beta_tolerance ({beta_tolerance}), "
+                f"min_beta_step ({min_beta_step}) or the target "
+                "efficiency."
+            )
+        n = len(samples)
+        for i in range(it):
+            self.history.beta.append(float(beta_h[i]))
+            self.history.eff_target.append(
+                float(self.current_target_efficiency(float(beta_h[i])))
+            )
+            self.history.ess.append(float(ess_h[i]))
+            self.history.ess_target.append(float(ess1_h[i]))
+            self.history.log_norm_ratio.append(float(ratio_h[i]))
+            self.history.log_norm_ratio_var.append(float(var_h[i]))
+            self.history.mcmc_acceptance.append(float(acc_h[i]))
+            logger.info(
+                "it %d - beta: %.6g  ESS: %.1f (%.2f eff)  "
+                "logZ ratio: %.3f",
+                i + 1,
+                float(beta_h[i]),
+                float(ess_h[i]),
+                float(ess_h[i]) / n,
+                float(ratio_h[i]),
+            )
+        self.n_likelihood_evaluations += it * (n_steps + 1) * n
+        self.profiler.add("particle_steps", it * n_steps * n)
+
+        new = SMCSamples(
+            x=out["x"],
+            beta=float(beta),
+            dtype=self.dtype,
+            parameters=self.parameters,
+        )
+        new.log_q = out["lq"]
+        new.log_prior = out["lpi"]
+        new.log_likelihood = out["ll"]
+        return new, it
+
+    def _build_device_ladder(self, n_steps: int, max_iters: int):
+        """Build (and cache) the compiled whole-ladder program."""
+        cache_key = ("ladder", n_steps, max_iters,
+                     tuple(sorted(self.sampler_kwargs.items())))
+        if cache_key in self._mutate_cache:
+            return self._mutate_cache[cache_key]
+
+        tempered = self.make_tempered_log_prob()
+        builder = self._kernel_step_builder
+        flow_log_prob, _ = self.flow_log_prob_params()
+        log_likelihood = self.log_likelihood
+        log_prior = self.log_prior
+        make_view = self._make_view
+        resampler = get_resampler(self.resampling_method)
+        adaptive_min_step = self.adaptive_min_beta_step
+
+        @jax.jit
+        def ladder(
+            flow_params,
+            x,
+            ll,
+            lpi,
+            lq,
+            key,
+            min_beta_step,
+            max_beta_step,
+            tol,
+            eff_lo,
+            eff_hi,
+            eff_rate,
+        ):
+            n = x.shape[0]
+            dtype = x.dtype
+            zeros_h = jnp.zeros((max_iters,), dtype)
+            state = {
+                "x": x,
+                "ll": ll,
+                "lpi": lpi,
+                "lq": lq,
+                "beta": jnp.asarray(0.0, dtype),
+                "key": key,
+                "min_step": min_beta_step,
+                "it": jnp.asarray(0, jnp.int32),
+                "done": jnp.asarray(False),
+                "stalled": jnp.asarray(False),
+                "beta_h": zeros_h,
+                "ess_h": zeros_h,
+                "ess1_h": zeros_h,
+                "ratio_h": zeros_h,
+                "var_h": zeros_h,
+                "acc_h": zeros_h,
+            }
+
+            def cond(s):
+                return (
+                    (~s["done"]) & (~s["stalled"]) & (s["it"] < max_iters)
+                )
+
+            def body(s):
+                beta_prev = s["beta"]
+                target_eff = eff_lo + (eff_hi - eff_lo) * (
+                    beta_prev**eff_rate
+                )
+                (
+                    beta,
+                    min_step,
+                    _beta_star,
+                    ess,
+                    ess1,
+                    ratio,
+                    var,
+                ) = _iteration_stats(
+                    s["ll"],
+                    s["lpi"],
+                    s["lq"],
+                    beta_prev,
+                    jnp.asarray(1.0, dtype),
+                    target_eff,
+                    tol,
+                    s["min_step"],
+                    max_beta_step,
+                    adaptive=True,
+                    adaptive_min_step=adaptive_min_step,
+                )
+                stalled = beta <= beta_prev
+
+                key, rs_key, mut_key = jax.random.split(s["key"], 3)
+                log_w = (beta_prev - beta) * s["lq"] + (
+                    beta - beta_prev
+                ) * (s["ll"] + s["lpi"])
+                log_w = jnp.where(jnp.isnan(log_w), -jnp.inf, log_w)
+                idx = resampler(rs_key, log_w, n)
+                x_r = s["x"][idx]
+
+                lp_fn = lambda zz: tempered(  # noqa: E731
+                    flow_params, None, zz, beta
+                )
+                ref = K.fit_gaussian_reference(x_r)
+                step_fn, init_step, needs_grad = builder(lp_fn, ref)
+                if needs_grad:
+                    lp0, grad0 = _value_and_grad_batch(lp_fn, x_r)
+                else:
+                    lp0, grad0 = lp_fn(x_r), None
+                chain0 = K.ChainState(
+                    x=x_r,
+                    log_prob=lp0,
+                    key=mut_key,
+                    step_size=jnp.asarray(init_step, dtype=dtype),
+                    n_accept=jnp.zeros(n, dtype=dtype),
+                    grad=grad0,
+                )
+                final, _ = K.run_chain(step_fn, chain0, n_steps)
+                x_m = final.x
+                lq_m = flow_log_prob(flow_params, x_m).astype(dtype)
+                view = make_view(x_m)
+                lpi_m = (
+                    jnp.asarray(log_prior(view)).reshape(-1).astype(dtype)
+                )
+                ll_m = (
+                    jnp.asarray(log_likelihood(view))
+                    .reshape(-1)
+                    .astype(dtype)
+                )
+                acc = jnp.mean(final.n_accept / max(n_steps, 1))
+
+                i = s["it"]
+                return {
+                    "x": x_m,
+                    "ll": ll_m,
+                    "lpi": lpi_m,
+                    "lq": lq_m,
+                    "beta": beta,
+                    "key": key,
+                    "min_step": min_step,
+                    "it": i + 1,
+                    "done": beta >= 1.0,
+                    "stalled": stalled,
+                    "beta_h": s["beta_h"].at[i].set(beta),
+                    "ess_h": s["ess_h"].at[i].set(ess),
+                    "ess1_h": s["ess1_h"].at[i].set(ess1),
+                    "ratio_h": s["ratio_h"].at[i].set(ratio),
+                    "var_h": s["var_h"].at[i].set(var),
+                    "acc_h": s["acc_h"].at[i].set(acc),
+                }
+
+            return jax.lax.while_loop(cond, body, state)
+
+        self._mutate_cache[cache_key] = ladder
+        return ladder
+
     def _mutate_host(
         self, flow_params, precond, z, beta, key, n_steps, kwargs, ref
     ):
@@ -541,8 +810,17 @@ class SMCSampler(Sampler):
         resume_from: str | bytes | dict | None = None,
         store_sample_history: bool | None = None,
         beta_tolerance: float = DEFAULT_BETA_TOLERANCE,
+        device_ladder: bool = False,
     ) -> Samples:
-        """Run adaptive-tempered SMC; returns weighted posterior Samples."""
+        """Run adaptive-tempered SMC; returns weighted posterior Samples.
+
+        ``device_ladder=True`` compiles the ENTIRE temperature ladder
+        (bisection, resampling, mutation, evidence accumulation, history
+        capture) into one ``lax.while_loop`` program — a single device
+        dispatch for the whole run. Requires a jittable target, adaptive
+        scheduling, and no preconditioning transform or per-iteration
+        checkpointing (use the default host ladder for those).
+        """
         self.sampler_kwargs = dict(self.default_sampler_kwargs)
         self.sampler_kwargs.update(sampler_kwargs or {})
         n_final_steps = self.sampler_kwargs.pop("n_final_steps", None)
@@ -650,6 +928,18 @@ class SMCSampler(Sampler):
                     samples, iterations, meta={"beta": beta}
                 )
                 checkpoint_callback(state)
+
+        if run_smc_loop and device_ladder:
+            samples, iterations = self._run_device_ladder(
+                samples,
+                min_beta_step=min_beta_step,
+                max_beta_step=max_beta_step,
+                beta_tolerance=beta_tolerance,
+                max_iters=max_n_steps or 100,
+                checkpoint_callback=checkpoint_callback,
+            )
+            beta = samples.beta
+            run_smc_loop = False
 
         if run_smc_loop:
             while True:

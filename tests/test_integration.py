@@ -239,3 +239,41 @@ def test_seeded_runs_reproducible(fitted_aspire):
         )
         results.append(np.asarray(s.x))
     np.testing.assert_array_equal(results[0], results[1])
+
+
+def test_device_ladder_matches_host_ladder(fitted_aspire):
+    """The single-dispatch compiled ladder agrees with the host ladder."""
+    host = fitted_aspire.sample_posterior(
+        sampler="smc",
+        n_samples=512,
+        preconditioning="none",
+        sampler_kwargs=dict(n_steps=10),
+    )
+    dev, hist = fitted_aspire.sample_posterior(
+        sampler="smc",
+        n_samples=512,
+        preconditioning="none",
+        device_ladder=True,
+        return_history=True,
+        sampler_kwargs=dict(n_steps=10),
+    )
+    assert hist.beta[-1] == 1.0
+    assert len(hist.ess) == len(hist.beta) == len(hist.log_norm_ratio)
+    assert float(dev.log_evidence) == pytest.approx(TRUE_LOG_Z, abs=0.5)
+    assert float(dev.log_evidence) == pytest.approx(
+        float(host.log_evidence), abs=0.5
+    )
+    np.testing.assert_allclose(
+        np.asarray(dev.x).mean(0), np.asarray(host.x).mean(0), atol=0.3
+    )
+
+
+def test_device_ladder_rejects_unsupported_configs(fitted_aspire):
+    with pytest.raises(ValueError, match="preconditioning"):
+        fitted_aspire.sample_posterior(
+            sampler="smc",
+            n_samples=64,
+            preconditioning="standard",
+            device_ladder=True,
+            sampler_kwargs=dict(n_steps=2),
+        )
