@@ -119,13 +119,7 @@ class MAF(Architecture):
         )
         return y, eld.sum(-1)
 
-    def forward(self, params, x):
-        """Data -> latent: one MADE pass per layer (parallel over dims).
-
-        Convention: the autoregressive conditioner reads the *data-side*
-        variable of each layer, so the density pass is the fast direction
-        (one network evaluation per layer).
-        """
+    def _forward_xla(self, params, x):
         masks = self._masks()
         log_det = jnp.zeros(x.shape[0], dtype=x.dtype)
         z = x
@@ -135,6 +129,24 @@ class MAF(Architecture):
             log_det += ld
             z = z[:, ::-1]  # reverse permutation between layers
         return z, log_det
+
+    def forward(self, params, x):
+        """Data -> latent: one MADE pass per layer (parallel over dims).
+
+        Convention: the autoregressive conditioner reads the *data-side*
+        variable of each layer, so the density pass is the fast direction
+        (one network evaluation per layer). On TPU the RQS variant
+        dispatches to the fused Pallas kernel (ops/fused_coupling.py);
+        gradients recompute through the XLA path via custom_vjp.
+        """
+        from ..ops.fused_coupling import (
+            fused_maf_forward,
+            should_fuse_maf,
+        )
+
+        if should_fuse_maf(self, x):
+            return fused_maf_forward(self, params, x)
+        return self._forward_xla(params, x)
 
     def inverse(self, params, z):
         """Latent -> data: autoregressive solve, sequential over dims."""

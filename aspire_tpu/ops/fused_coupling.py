@@ -430,6 +430,159 @@ def _pallas_apply(arch, mode: str, prepared, x, interpret=None):
 
 
 # ---------------------------------------------------------------------------
+# MAF density pass (forward only; the autoregressive inverse is a
+# sequential per-dim solve and stays on the XLA path)
+# ---------------------------------------------------------------------------
+
+
+def should_fuse_maf(arch, x) -> bool:
+    """Dispatch predicate for the fused MAF density pass."""
+    if arch.transformer != "rqs":
+        # Affine MAF is MXU-pass-bound; fusion measured ~neutral.
+        return False
+    # MAF's output layer carries parameter groups for ALL dims (the
+    # shared should_fuse bound assumes the coupling half).
+    if 2 * _weight_bytes(arch) > 8 * 1024 * 1024:
+        return False
+    return should_fuse(arch, x)
+
+
+def prepare_maf_params(arch, params: dict) -> list[jax.Array]:
+    """Stack MADE weights (mask-premultiplied, transposed) per depth.
+
+    Same output-layer reorganization as :func:`prepare_params` but over
+    ALL dims (MAF transforms every dim each layer).
+    """
+    from ..flows.nets import made_masks
+
+    flow_layers = params["layers"]
+    n_dense = len(flow_layers[0]["layers"])
+    d = arch.dims
+    P = arch._n_params_per_dim
+    G = _group_size(arch)
+    masks, _ = made_masks(d, list(arch.n_hidden), P)
+    out = []
+    for j in range(n_dense):
+        mask = jnp.asarray(masks[j])
+        w = jnp.stack(
+            [fl["layers"][j]["w"] * mask for fl in flow_layers]
+        )
+        b = jnp.stack([fl["layers"][j]["b"] for fl in flow_layers])
+        if j == n_dense - 1:
+            L, H, _ = w.shape
+            w = w.reshape(L, H, d, P)
+            b = b.reshape(L, d, P)
+            w = jnp.pad(w, ((0, 0), (0, 0), (0, 0), (0, G - P)))
+            w = w.reshape(L, H, d * G)
+            b = jnp.pad(b, ((0, 0), (0, 0), (0, G - P))).reshape(L, d * G)
+        out.append(jnp.swapaxes(w, 1, 2))
+        out.append(b[:, :, None])
+    return out
+
+
+def _maf_kernel(arch, n_dense: int, xt_ref, *refs):
+    """MAF density pass, features-on-sublanes: per layer one MADE
+    evaluation + RQS of all dims + row reversal."""
+    w_refs = refs[: 2 * n_dense]
+    zt_ref, ld_ref = refs[2 * n_dense], refs[2 * n_dense + 1]
+
+    d = arch.dims
+    G = _group_size(arch)
+
+    x = xt_ref[:]  # (d, T)
+    dtype = x.dtype
+    ld = jnp.zeros(ld_ref.shape, dtype=dtype)  # (1, T)
+
+    for layer in range(arch.n_layers):
+        h = x
+        for j in range(n_dense):
+            w = w_refs[2 * j][layer]
+            b = w_refs[2 * j + 1][layer]
+            h = (
+                jnp.dot(w, h, preferred_element_type=jnp.float32).astype(
+                    dtype
+                )
+                + b
+            )
+            if j < n_dense - 1:
+                h = jax.nn.relu(h)
+        hg = h.reshape(d, G, h.shape[-1])
+        y, eld = _rqs_rows(
+            x, hg, arch.num_bins, arch.tail_bound, inverse=True
+        )
+        ld = ld + jnp.sum(eld, axis=0, keepdims=True)
+        # Reverse permutation between layers (MAF.forward's z[:, ::-1]).
+        rows = [y[i : i + 1, :] for i in reversed(range(d))]
+        x = jnp.concatenate(rows, axis=0) if d > 1 else rows[0]
+
+    zt_ref[:] = x
+    ld_ref[:] = ld
+
+
+def _pallas_maf_forward(arch, prepared, x, interpret=None):
+    n, d = x.shape
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n_dense = len(prepared) // 2
+    rows = max(d * _group_size(arch), 1)
+    tile_budget = max(128, (98_304 // rows) // 128 * 128)
+    tile = min(_TILE, tile_budget, _round_up(n, 128))
+    grid = (pl.cdiv(n, tile),)
+
+    kernel = functools.partial(_maf_kernel, arch, n_dense)
+    weight_specs = [
+        pl.BlockSpec(
+            s.shape, lambda i, nd=s.ndim: (0,) * nd, memory_space=pltpu.VMEM
+        )
+        for s in prepared
+    ]
+    zt, ld = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((d, n), x.dtype),
+            jax.ShapeDtypeStruct((1, n), x.dtype),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (d, tile), lambda i: (0, i), memory_space=pltpu.VMEM
+            )
+        ]
+        + weight_specs,
+        out_specs=(
+            pl.BlockSpec(
+                (d, tile), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, tile), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+        ),
+        interpret=interpret,
+    )(x.T, *prepared)
+    return zt.T, ld[0]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def fused_maf_forward(arch, params, x):
+    """Fused MAF density pass; semantics of ``MAF._forward_xla``."""
+    prepared = prepare_maf_params(arch, params)
+    return _pallas_maf_forward(arch, prepared, x)
+
+
+def _fused_maf_fwd(arch, params, x):
+    return fused_maf_forward(arch, params, x), (params, x)
+
+
+def _fused_maf_bwd(arch, res, cotangents):
+    params, x = res
+    _, vjp = jax.vjp(arch._forward_xla, params, x)
+    return vjp(cotangents)
+
+
+fused_maf_forward.defvjp(_fused_maf_fwd, _fused_maf_bwd)
+
+
+# ---------------------------------------------------------------------------
 # custom_vjp wrapper: fused forward, XLA-recompute backward
 # ---------------------------------------------------------------------------
 

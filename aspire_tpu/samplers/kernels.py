@@ -96,13 +96,24 @@ def gamma_fixed_shape(key, alpha: float, n: int, dtype) -> jax.Array:
 
 
 def _adapt_step_size(
-    step_size, accept_prob_mean, target_acceptance, adaptation_rate
+    step_size,
+    accept_prob_mean,
+    target_acceptance,
+    adaptation_rate,
+    max_log_step: float = 0.0,
 ):
-    """Robbins-Monro step-size adaptation in log space."""
+    """Robbins-Monro step-size adaptation in log space.
+
+    ``max_log_step=0`` (step <= 1) is the pCN constraint (s in (0, 1]);
+    unconstrained kernels (RWMH/MALA/HMC) pass a larger bound so the
+    adaptation can actually reach the target acceptance on wide targets.
+    """
     log_s = jnp.log(step_size) + adaptation_rate * (
         accept_prob_mean - target_acceptance
     )
-    return jnp.exp(jnp.clip(log_s, -10.0, 0.0)).astype(step_size.dtype)
+    return jnp.exp(jnp.clip(log_s, -10.0, max_log_step)).astype(
+        step_size.dtype
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -230,7 +241,10 @@ def rwmh_step(
     x_new = jnp.where(accept[:, None], x_prop, state.x)
     lp_new = jnp.where(accept, lp_prop, state.log_prob)
     acc_prob = jnp.mean(jnp.exp(jnp.minimum(log_alpha, 0.0)))
-    s_new = _adapt_step_size(s, acc_prob, target_acceptance, adaptation_rate)
+    s_new = _adapt_step_size(
+        s, acc_prob, target_acceptance, adaptation_rate,
+        max_log_step=2.3,
+    )
     return ChainState(
         x=x_new,
         log_prob=lp_new,
@@ -271,7 +285,8 @@ def mala_step(
     grad_new = jnp.where(accept[:, None], grad_prop, grad)
     acc_prob = jnp.mean(jnp.exp(jnp.minimum(log_alpha, 0.0)))
     eps_new = _adapt_step_size(
-        eps, acc_prob, target_acceptance, adaptation_rate
+        eps, acc_prob, target_acceptance, adaptation_rate,
+        max_log_step=2.3,
     )
     return ChainState(
         x=x_new,
@@ -335,7 +350,8 @@ def hmc_step(
     grad_new = jnp.where(accept[:, None], grad_prop, state.grad)
     acc_prob = jnp.mean(jnp.exp(jnp.minimum(log_alpha, 0.0)))
     eps_new = _adapt_step_size(
-        eps, acc_prob, target_acceptance, adaptation_rate
+        eps, acc_prob, target_acceptance, adaptation_rate,
+        max_log_step=2.3,
     )
     return ChainState(
         x=x_new,

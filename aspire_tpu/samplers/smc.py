@@ -196,6 +196,7 @@ class SMCSampler(Sampler):
         self.sampler_kwargs: dict = {}
         self._adaptive_target_efficiency = False
         self._mutate_cache: dict = {}
+        self._step_size_carry = None
         from ..profiling import Profiler
 
         self.profiler = Profiler()
@@ -356,7 +357,9 @@ class SMCSampler(Sampler):
         if jittable:
             # Chain + density refresh + diagnostics are ONE jitted
             # computation with ONE host fetch (remote backends pay a
-            # round-trip per dispatch).
+            # round-trip per dispatch). The adapted step size carries
+            # across temperatures so Robbins-Monro adaptation converges
+            # instead of restarting every mutation.
             with self.profiler.phase("mutate/chain"):
                 (
                     x,
@@ -366,9 +369,18 @@ class SMCSampler(Sampler):
                     acc_arr,
                     any_nan_q,
                     any_nan_target,
+                    step_carry,
                 ) = self._mutate_on_device(
-                    flow_params, precond, z, beta_arr, key, n_steps, kwargs
+                    flow_params,
+                    precond,
+                    z,
+                    beta_arr,
+                    key,
+                    n_steps,
+                    kwargs,
+                    self._step_size_carry,
                 )
+            self._step_size_carry = step_carry
             self.n_likelihood_evaluations += (n_steps + 1) * z.shape[0]
             with self.profiler.phase("mutate/sync"):
                 acceptance, nan_q, nan_target = jax.device_get(
@@ -430,10 +442,17 @@ class SMCSampler(Sampler):
         return new
 
     def _mutate_on_device(
-        self, flow_params, precond, z, beta, key, n_steps, kwargs
+        self, flow_params, precond, z, beta, key, n_steps, kwargs,
+        step_size_carry=None,
     ):
         """Fully jitted mutation: one XLA computation for the whole chain."""
-        cache_key = (n_steps, tuple(sorted(kwargs.items())), precond is None)
+        use_carry = step_size_carry is not None
+        cache_key = (
+            n_steps,
+            tuple(sorted(kwargs.items())),
+            precond is None,
+            use_carry,
+        )
         if cache_key not in self._mutate_cache:
             tempered = self.make_tempered_log_prob()
             builder = self._kernel_step_builder
@@ -442,13 +461,20 @@ class SMCSampler(Sampler):
             log_prior = self.log_prior
             make_view = self._make_view
 
-            @partial(jax.jit, static_argnames=("n_steps",))
-            def mutate_fn(flow_params, precond, z, beta, key, n_steps):
+            @partial(
+                jax.jit, static_argnames=("n_steps", "use_carry")
+            )
+            def mutate_fn(
+                flow_params, precond, z, beta, key, step0, n_steps,
+                use_carry,
+            ):
                 log_prob_fn = lambda zz: tempered(  # noqa: E731
                     flow_params, precond, zz, beta
                 )
                 ref = K.fit_gaussian_reference(z)
                 step_fn, init_step, needs_grad = builder(log_prob_fn, ref)
+                if not use_carry:
+                    step0 = jnp.asarray(init_step, dtype=z.dtype)
                 if needs_grad:
                     lp, grad = _value_and_grad_batch(log_prob_fn, z)
                 else:
@@ -457,7 +483,7 @@ class SMCSampler(Sampler):
                     x=z,
                     log_prob=lp,
                     key=key,
-                    step_size=jnp.asarray(init_step, dtype=z.dtype),
+                    step_size=step0.astype(z.dtype),
                     n_accept=jnp.zeros(z.shape[0], dtype=z.dtype),
                     grad=grad,
                 )
@@ -485,11 +511,24 @@ class SMCSampler(Sampler):
                     acceptance,
                     any_nan_q,
                     any_nan_target,
+                    final.step_size,
                 )
 
             self._mutate_cache[cache_key] = mutate_fn
+        step0 = (
+            step_size_carry
+            if use_carry
+            else jnp.asarray(0.0, dtype=z.dtype)
+        )
         return self._mutate_cache[cache_key](
-            flow_params, precond, z, beta, key, n_steps=n_steps
+            flow_params,
+            precond,
+            z,
+            beta,
+            key,
+            step0,
+            n_steps=n_steps,
+            use_carry=use_carry,
         )
 
     # -- fully on-device ladder ----------------------------------------------
@@ -651,6 +690,7 @@ class SMCSampler(Sampler):
                 "lpi": lpi,
                 "lq": lq,
                 "beta": jnp.asarray(0.0, dtype),
+                "step": jnp.asarray(-1.0, dtype),  # <0: use kernel default
                 "key": key,
                 "min_step": min_beta_step,
                 "it": jnp.asarray(0, jnp.int32),
@@ -714,11 +754,16 @@ class SMCSampler(Sampler):
                     lp0, grad0 = _value_and_grad_batch(lp_fn, x_r)
                 else:
                     lp0, grad0 = lp_fn(x_r), None
+                step0 = jnp.where(
+                    s["step"] > 0,
+                    s["step"],
+                    jnp.asarray(init_step, dtype=dtype),
+                )
                 chain0 = K.ChainState(
                     x=x_r,
                     log_prob=lp0,
                     key=mut_key,
-                    step_size=jnp.asarray(init_step, dtype=dtype),
+                    step_size=step0,
                     n_accept=jnp.zeros(n, dtype=dtype),
                     grad=grad0,
                 )
@@ -743,6 +788,7 @@ class SMCSampler(Sampler):
                     "lpi": lpi_m,
                     "lq": lq_m,
                     "beta": beta,
+                    "step": final.step_size.astype(dtype),
                     "key": key,
                     "min_step": min_step,
                     "it": i + 1,
@@ -824,6 +870,7 @@ class SMCSampler(Sampler):
         self.sampler_kwargs = dict(self.default_sampler_kwargs)
         self.sampler_kwargs.update(sampler_kwargs or {})
         n_final_steps = self.sampler_kwargs.pop("n_final_steps", None)
+        self._step_size_carry = None  # re-adapt from defaults per run
 
         resumed = resume_from is not None
         if resumed:

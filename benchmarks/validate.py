@@ -1,0 +1,137 @@
+"""Statistical validation: every sampler against analytic evidences.
+
+Runs each posterior-sampling strategy on two closed-form targets (the
+reference's basic-example Gaussian x uniform prior, and the two-Gaussian
+mixture x normal prior) on whatever device is available, and checks the
+log-evidence against the analytic value within k-sigma. Prints one JSON
+line per (sampler, problem) and exits non-zero on any failure — the
+statistical counterpart of the reference's examples.yml smoke CI.
+
+Usage: python benchmarks/validate.py [--n 16384] [--k-sigma 5]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+SAMPLERS = [
+    ("importance", {}),
+    ("smc", {"sampler_kwargs": {"n_steps": 20}}),
+    ("smc", {"sampler_kwargs": {"n_steps": 20}, "device_ladder": True,
+             "preconditioning": "none"}),
+    ("emcee_smc", {"sampler_kwargs": {"n_steps": 20}}),
+    ("rwmh_smc", {"sampler_kwargs": {"n_steps": 20}}),
+    # Langevin mixes locally: it needs longer chains on multimodal
+    # targets for the mode weights to relax (see TODO.md).
+    ("mala_smc", {"sampler_kwargs": {"n_steps": 100}}),
+    ("hmc_smc", {"sampler_kwargs": {"n_steps": 5, "n_leapfrog": 10}}),
+    ("nuts_smc", {"sampler_kwargs": {"n_steps": 5, "n_leapfrog": 10}}),
+]
+
+
+def analytic_log_z(problem) -> float:
+    import numpy as np
+
+    name = type(problem).__name__
+    if name == "GaussianProblem":
+        return float(problem.true_log_evidence)
+    if name == "GaussianMixtureProblem":
+        def comp(mu, var):
+            d = len(mu)
+            return (
+                -0.5 * d * np.log(2 * np.pi * (1 + var))
+                - 0.5 * mu @ mu / (1 + var)
+            )
+
+        return float(
+            np.logaddexp(
+                comp(problem.mu1, problem.var1),
+                comp(problem.mu2, problem.var2),
+            )
+            - np.log(2.0)
+        )
+    raise ValueError(name)
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--n", type=int, default=16384)
+    parser.add_argument("--k-sigma", type=float, default=5.0)
+    parser.add_argument("--min-tol", type=float, default=0.05)
+    args = parser.parse_args()
+
+    import numpy as np
+
+    from aspire_tpu import Aspire, Samples, configure_logger
+    from aspire_tpu.models import (
+        GaussianMixtureProblem,
+        GaussianProblem,
+    )
+
+    configure_logger("WARNING")
+    failures = 0
+    for problem, init_fn in [
+        (
+            GaussianProblem(dims=4),
+            lambda rng: rng.normal(1.0, 1.2, size=(8192, 4)),
+        ),
+        (
+            GaussianMixtureProblem(dims=4),
+            lambda rng: GaussianMixtureProblem(
+                dims=4
+            ).draw_initial_samples(rng, 8192),
+        ),
+    ]:
+        rng = np.random.default_rng(0)
+        asp = Aspire(
+            log_likelihood=problem.log_likelihood,
+            log_prior=problem.log_prior,
+            dims=problem.dims,
+            prior_bounds=problem.prior_bounds,
+            flow_backend="nsf",
+            seed=1,
+        )
+        asp.fit(Samples(init_fn(rng)), n_epochs=25, batch_size=512)
+        true = analytic_log_z(problem)
+        for sampler, kwargs in SAMPLERS:
+            label = sampler + (
+                "+device_ladder" if kwargs.get("device_ladder") else ""
+            )
+            try:
+                post = asp.sample_posterior(
+                    sampler=sampler,
+                    n_samples=args.n,
+                    store_sample_history=False,
+                    **kwargs,
+                )
+                lz = float(post.log_evidence)
+                err = float(post.log_evidence_error)
+                tol = max(args.k_sigma * err, args.min_tol)
+                ok = abs(lz - true) < tol
+            except Exception as exc:  # noqa: BLE001
+                lz, err, ok = float("nan"), float("nan"), False
+                print(f"# {label} raised: {exc!r}", file=sys.stderr)
+            failures += not ok
+            print(
+                json.dumps(
+                    {
+                        "problem": type(problem).__name__,
+                        "sampler": label,
+                        "log_z": round(lz, 4),
+                        "log_z_err": round(err, 4),
+                        "true_log_z": round(true, 4),
+                        "ok": bool(ok),
+                    }
+                ),
+                flush=True,
+            )
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -167,3 +167,73 @@ def test_fused_large_dims_tile_scaling():
     )
     np.testing.assert_allclose(y, y_ref, rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(ld, ld_ref, rtol=1e-3, atol=1e-4)
+
+
+class TestFusedMAF:
+    @pytest.fixture
+    def maf_arch(self):
+        from aspire_tpu.flows.architectures import MAF
+
+        return MAF(
+            dims=4, n_layers=3, n_hidden=(32, 32), transformer="rqs"
+        )
+
+    @pytest.fixture
+    def maf_params(self, maf_arch, key):
+        params = maf_arch.init(key)
+        return jax.tree.map(
+            lambda p: p
+            + 0.1 * jax.random.normal(jax.random.key(5), p.shape, p.dtype),
+            params,
+        )
+
+    @pytest.mark.parametrize("n", [64, 1000])
+    def test_matches_xla(self, maf_arch, maf_params, n):
+        from aspire_tpu.ops.fused_coupling import (
+            _pallas_maf_forward,
+            prepare_maf_params,
+        )
+
+        x = jax.random.normal(jax.random.key(6), (n, 4), jnp.float32)
+        z_ref, ld_ref = maf_arch._forward_xla(maf_params, x)
+        prepared = prepare_maf_params(maf_arch, maf_params)
+        z, ld = _pallas_maf_forward(maf_arch, prepared, x, interpret=True)
+        np.testing.assert_allclose(z, z_ref, rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(ld, ld_ref, rtol=1e-3, atol=1e-4)
+
+    def test_gradients_match_xla(self, maf_arch, maf_params):
+        from aspire_tpu.ops.fused_coupling import fused_maf_forward
+
+        x = jax.random.normal(jax.random.key(7), (128, 4), jnp.float32)
+
+        def loss_fused(p, x):
+            z, ld = fused_maf_forward(maf_arch, p, x)
+            return jnp.sum(z**2) + jnp.sum(ld)
+
+        def loss_ref(p, x):
+            z, ld = maf_arch._forward_xla(p, x)
+            return jnp.sum(z**2) + jnp.sum(ld)
+
+        np.testing.assert_allclose(
+            loss_fused(maf_params, x), loss_ref(maf_params, x), rtol=1e-4
+        )
+        g1 = jax.grad(loss_fused, argnums=(0, 1))(maf_params, x)
+        g2 = jax.grad(loss_ref, argnums=(0, 1))(maf_params, x)
+        # The cotangent is built on the fused primal, which differs from
+        # the XLA primal by f32 accumulation-order noise.
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                a, b, rtol=1e-3, atol=1e-3
+            ),
+            g1,
+            g2,
+        )
+
+    def test_affine_maf_never_fuses(self):
+        from aspire_tpu.flows.architectures import MAF
+        from aspire_tpu.ops.fused_coupling import should_fuse_maf
+
+        arch = MAF(dims=4, n_layers=2, transformer="affine")
+        assert not should_fuse_maf(
+            arch, jnp.zeros((10_000, 4), jnp.float32)
+        )
