@@ -38,7 +38,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 MAX_FUSED_DIMS = 32
-_TILE = int(os.environ.get("ASPIRE_TPU_FUSED_TILE", "1024"))
+_TILE = int(os.environ.get("ASPIRE_TPU_FUSED_TILE", "2048"))
 # Below this batch size the XLA path is already latency-bound and the
 # fused kernel only adds compile time (one Pallas compile per shape).
 _MIN_FUSED_N = int(os.environ.get("ASPIRE_TPU_FUSED_MIN_N", "4096"))
