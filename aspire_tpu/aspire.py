@@ -387,12 +387,41 @@ class Aspire:
             k: v for k, v in kwargs.items() if k not in sampler_init_kwargs
         }
 
-        self._sampler = self.init_sampler(
+        # Reuse the sampler (and with it every compiled program: draw,
+        # mutation chains, device ladder) across sample_posterior calls
+        # when the configuration is unchanged. Flow params and the
+        # fitted data transform are traced ARGUMENTS of those programs,
+        # so refitting the flow between calls stays correct; replacing
+        # the flow object itself invalidates the cache.
+        sampler_sig = (
             sampler,
-            preconditioning=preconditioning,
-            preconditioning_kwargs=preconditioning_kwargs,
-            **sampler_init_kwargs,
+            id(self.flow),
+            preconditioning,
+            preconditioning_kwargs,
+            sampler_init_kwargs,
         )
+        if (
+            self._sampler is None
+            or getattr(self, "_sampler_sig", None) != sampler_sig
+        ):
+            self._sampler = self.init_sampler(
+                sampler,
+                preconditioning=preconditioning,
+                preconditioning_kwargs=preconditioning_kwargs,
+                **sampler_init_kwargs,
+            )
+            self._sampler_sig = sampler_sig
+        else:
+            logger.debug(
+                "Reusing %s sampler (compiled programs cached)", sampler
+            )
+            self._sampler.n_likelihood_evaluations = 0
+            if self.seed is not None:
+                # Fresh-sampler semantics: a fixed seed gives identical
+                # runs, so re-seed the reused sampler's stream.
+                from .samplers.base import _as_key
+
+                self._sampler.key = _as_key(self.seed + 1)
         self._last_sampler_type = sampler
 
         defaults = getattr(self, "_checkpoint_defaults", None)

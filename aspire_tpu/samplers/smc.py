@@ -284,25 +284,34 @@ class SMCSampler(Sampler):
 
     # -- tempered target ----------------------------------------------------
 
+    def flow_state(self):
+        """Traced flow state: (params, fitted data transform).
+
+        Both change across `fit()` calls, so they ride through jit
+        boundaries as ARGUMENTS — never closure constants — which lets
+        one compiled sampler program serve many fit/sample rounds.
+        """
+        return (self.prior_flow.params, self.prior_flow.data_transform)
+
     def flow_log_prob_params(self):
-        """(pure_fn, params) for the flow density, jit-stable identity."""
+        """(pure_fn, state) for the flow density, jit-stable identity."""
         flow = self.prior_flow
         arch = flow.architecture
-        data_transform = flow.data_transform
 
-        def flow_log_prob(params, x):
+        def flow_log_prob(flow_state, x):
             from ..flows.bijectors import standard_normal_log_prob
 
+            params, data_transform = flow_state
             x_t, log_j = data_transform.forward(x)
             z, log_det = arch.forward(params, x_t)
             return standard_normal_log_prob(z) + log_det + log_j
 
-        return flow_log_prob, flow.params
+        return flow_log_prob, self.flow_state()
 
     def make_tempered_log_prob(self) -> Callable:
         """Tempered log-density in the preconditioned space.
 
-        ``log_prob(flow_params, precond, z, beta)`` with NaN -> -inf
+        ``log_prob(flow_state, precond, z, beta)`` with NaN -> -inf
         (reference smc/base.py:507-519). Jittable when the user target is.
         """
         flow_log_prob, _ = self.flow_log_prob_params()
@@ -310,13 +319,13 @@ class SMCSampler(Sampler):
         log_prior = self.log_prior
         make_view = self._make_view
 
-        def tempered_log_prob(flow_params, precond, z, beta):
+        def tempered_log_prob(flow_state, precond, z, beta):
             if precond is None:
                 x = z
                 log_j = jnp.zeros(z.shape[0], dtype=z.dtype)
             else:
                 x, log_j = precond.inverse(z)
-            log_q = flow_log_prob(flow_params, x)
+            log_q = flow_log_prob(flow_state, x)
             view = make_view(x)
             log_pi = jnp.asarray(log_prior(view)).reshape(-1)
             log_l = jnp.asarray(log_likelihood(view)).reshape(-1)
@@ -348,7 +357,7 @@ class SMCSampler(Sampler):
         with self.profiler.phase("mutate/fit_precond"):
             z = self.fit_preconditioning_transform(samples.x)
         jittable = self.target_is_jittable()
-        flow_params = self.prior_flow.params
+        flow_state = self.flow_state()
         precond = self.preconditioning_transform
         beta_arr = jnp.asarray(beta, dtype=z.dtype)
 
@@ -371,7 +380,7 @@ class SMCSampler(Sampler):
                     any_nan_target,
                     step_carry,
                 ) = self._mutate_on_device(
-                    flow_params,
+                    flow_state,
                     precond,
                     z,
                     beta_arr,
@@ -409,7 +418,7 @@ class SMCSampler(Sampler):
             ref = K.fit_gaussian_reference(z)
         with self.profiler.phase("mutate/chain"):
             final_state = self._mutate_host(
-                flow_params,
+                flow_state,
                 precond,
                 z,
                 beta_arr,
@@ -442,7 +451,7 @@ class SMCSampler(Sampler):
         return new
 
     def _mutate_on_device(
-        self, flow_params, precond, z, beta, key, n_steps, kwargs,
+        self, flow_state, precond, z, beta, key, n_steps, kwargs,
         step_size_carry=None,
     ):
         """Fully jitted mutation: one XLA computation for the whole chain."""
@@ -465,11 +474,11 @@ class SMCSampler(Sampler):
                 jax.jit, static_argnames=("n_steps", "use_carry")
             )
             def mutate_fn(
-                flow_params, precond, z, beta, key, step0, n_steps,
+                flow_state, precond, z, beta, key, step0, n_steps,
                 use_carry,
             ):
                 log_prob_fn = lambda zz: tempered(  # noqa: E731
-                    flow_params, precond, zz, beta
+                    flow_state, precond, zz, beta
                 )
                 ref = K.fit_gaussian_reference(z)
                 step_fn, init_step, needs_grad = builder(log_prob_fn, ref)
@@ -494,7 +503,7 @@ class SMCSampler(Sampler):
                     x = final.x
                 else:
                     x, _ = precond.inverse(final.x)
-                log_q = flow_log_prob(flow_params, x)
+                log_q = flow_log_prob(flow_state, x)
                 view = make_view(x)
                 log_pi = jnp.asarray(log_prior(view)).reshape(-1)
                 log_l = jnp.asarray(log_likelihood(view)).reshape(-1)
@@ -521,7 +530,7 @@ class SMCSampler(Sampler):
             else jnp.asarray(0.0, dtype=z.dtype)
         )
         return self._mutate_cache[cache_key](
-            flow_params,
+            flow_state,
             precond,
             z,
             beta,
@@ -576,7 +585,7 @@ class SMCSampler(Sampler):
 
         ladder = self._build_device_ladder(n_steps, max_iters)
         out = ladder(
-            self.prior_flow.params,
+            self.flow_state(),
             samples.x,
             samples.log_likelihood,
             samples.log_prior,
@@ -668,7 +677,7 @@ class SMCSampler(Sampler):
 
         @jax.jit
         def ladder(
-            flow_params,
+            flow_state,
             x,
             ll,
             lpi,
@@ -746,7 +755,7 @@ class SMCSampler(Sampler):
                 x_r = s["x"][idx]
 
                 lp_fn = lambda zz: tempered(  # noqa: E731
-                    flow_params, None, zz, beta
+                    flow_state, None, zz, beta
                 )
                 ref = K.fit_gaussian_reference(x_r)
                 step_fn, init_step, needs_grad = builder(lp_fn, ref)
@@ -769,7 +778,7 @@ class SMCSampler(Sampler):
                 )
                 final, _ = K.run_chain(step_fn, chain0, n_steps)
                 x_m = final.x
-                lq_m = flow_log_prob(flow_params, x_m).astype(dtype)
+                lq_m = flow_log_prob(flow_state, x_m).astype(dtype)
                 view = make_view(x_m)
                 lpi_m = (
                     jnp.asarray(log_prior(view)).reshape(-1).astype(dtype)
@@ -808,12 +817,12 @@ class SMCSampler(Sampler):
         return ladder
 
     def _mutate_host(
-        self, flow_params, precond, z, beta, key, n_steps, kwargs, ref
+        self, flow_state, precond, z, beta, key, n_steps, kwargs, ref
     ):
         """Host-loop mutation for non-jittable user targets."""
         tempered = self.make_tempered_log_prob()
         log_prob_fn = lambda zz: tempered(  # noqa: E731
-            flow_params, precond, zz, beta
+            flow_state, precond, zz, beta
         )
         step_fn, init_step, needs_grad = self._kernel_step_builder(
             log_prob_fn, ref
