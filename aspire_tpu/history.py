@@ -177,6 +177,43 @@ class SMCHistory(History):
             ax.set_xlabel("")
         return fig
 
+    def _panel_layout(self, parameters, ax):
+        """Shared panel setup for the per-parameter history plots.
+
+        Resolves the requested parameter names to column indices in the
+        stored particle arrays and returns
+        ``(fig_or_None, axes, names, columns)``. When ``ax`` is given
+        the caller draws into it and ``fig`` is ``None``.
+        """
+        import matplotlib.pyplot as plt
+
+        if not self.sample_history:
+            raise ValueError(
+                "No sample history was recorded for this run; enable "
+                "sample-history storage on the sampler to use this plot."
+            )
+        first = self.sample_history[0]
+        known = first.parameters or [f"x_{i}" for i in range(first.dims)]
+        names = list(parameters) if parameters is not None else known
+        columns = [known.index(p) for p in names]
+
+        if ax is not None:
+            axes = np.atleast_1d(ax)
+            if len(axes) != len(names):
+                raise ValueError(
+                    f"Expected {len(names)} axes for parameters "
+                    f"{names}, got {len(axes)}."
+                )
+            return None, axes, names, columns
+        fig, axes = plt.subplots(
+            len(names),
+            1,
+            sharex=True,
+            figsize=(6, 2 * len(names)),
+            squeeze=False,
+        )
+        return fig, axes[:, 0], names, columns
+
     def plot_sample_history(
         self,
         n_samples=None,
@@ -187,78 +224,87 @@ class SMCHistory(History):
         x_axis: str = "log_p_t",
         iterations: list[int] | None = None,
     ):
-        """Scatter of per-iteration samples vs log_p_t / log_likelihood.
+        """Particle positions across the tempering ladder.
 
-        Parity: reference history.py:244-346.
+        One panel per parameter. Points are shaded by SMC iteration
+        (with a colorbar) and positioned horizontally by ``x_axis`` —
+        the tempered density ``log_p_t``, the raw ``log_likelihood``,
+        or, when the required quantities were not stored with the
+        snapshots, the iteration index.
+
+        Behavioral parity with reference history.py:244-346 (same call
+        surface); the rendering is a single flattened scatter per
+        panel rather than a per-iteration loop.
         """
         import matplotlib.pyplot as plt
 
-        if x_axis not in {"log_p_t", "log_likelihood"}:
+        if x_axis not in ("log_p_t", "log_likelihood"):
             raise ValueError(
-                f"Unsupported x_axis '{x_axis}'. Expected 'log_p_t' or "
+                f"Unsupported x_axis {x_axis!r}: choose 'log_p_t' or "
                 "'log_likelihood'."
             )
-        if not self.sample_history:
-            raise ValueError("No sample history available to plot.")
-        n_parameters = (
-            len(parameters)
-            if parameters is not None
-            else self.sample_history[0].dims
+        fig, axes, names, columns = self._panel_layout(parameters, ax)
+
+        chosen = (
+            list(iterations)
+            if iterations is not None
+            else list(range(len(self.sample_history)))
         )
-        if ax is None:
-            fig, ax = plt.subplots(
-                n_parameters, 1, sharex=True, figsize=(6, 2 * n_parameters)
+        snapshots = [self.sample_history[t].to_numpy() for t in chosen]
+
+        def horizontal(snap):
+            if x_axis == "log_likelihood":
+                got = snap.log_likelihood
+                return None if got is None else np.asarray(got)
+            ingredients = (
+                snap.log_likelihood,
+                snap.log_prior,
+                snap.log_q,
+                getattr(snap, "beta", None),
             )
-            ax = np.atleast_1d(ax)
+            if any(part is None for part in ingredients):
+                return None
+            return np.asarray(snap.log_p_t(snap.beta))
+
+        positions = [horizontal(snap) for snap in snapshots]
+        if any(p is None for p in positions):
+            # Snapshots lack the requested quantity: degrade to the
+            # iteration index so the plot stays usable.
+            positions = [
+                np.full(len(snap), float(t))
+                for t, snap in zip(chosen, snapshots)
+            ]
+            x_label = "Iteration"
         else:
-            fig = None
-            ax = np.atleast_1d(ax)
+            x_label = (
+                r"$\log p_t(\beta)$" if x_axis == "log_p_t"
+                else r"$\log L$"
+            )
 
-        colormap = plt.get_cmap(cmap)
-        if iterations is None:
-            iterations = list(range(len(self.sample_history)))
-        colors = colormap(np.linspace(0, 1, len(iterations)))
-
-        has_log_pt = all(
-            getattr(s, "beta", None) is not None
-            and s.log_likelihood is not None
-            and s.log_prior is not None
-            and s.log_q is not None
-            for s in self.sample_history
+        # Flatten all chosen iterations into one array per panel and
+        # draw a single scatter shaded by iteration.
+        keep = slice(None, n_samples)
+        x_flat = np.concatenate([p[keep] for p in positions])
+        shade = np.concatenate(
+            [
+                np.full(len(p[keep]), float(t))
+                for t, p in zip(chosen, positions)
+            ]
         )
-        has_logl = all(
-            s.log_likelihood is not None for s in self.sample_history
-        )
-        scatter_kwargs = {"s": 10, **(scatter_kwargs or {})}
-
-        samples = None
-        for it, color in zip(iterations, colors):
-            samples = self.sample_history[it].to_numpy()
-            if n_samples is not None:
-                samples = samples[:n_samples]
-            if parameters is not None:
-                idx = [samples.parameters.index(p) for p in parameters]
-                x = np.asarray(samples.x)[:, idx]
-            else:
-                x = np.asarray(samples.x)
-            if x_axis == "log_p_t" and has_log_pt:
-                x_values = np.asarray(samples.log_p_t(samples.beta))
-            elif x_axis == "log_likelihood" and has_logl:
-                x_values = np.asarray(samples.log_likelihood)
-            else:
-                x_values = it * np.ones(len(x))
-            for i in range(x.shape[1]):
-                ax[i].scatter(x_values, x[:, i], color=color, **scatter_kwargs)
-
-        labels = parameters or samples.parameters
-        for i, p in enumerate(labels):
-            ax[i].set_ylabel(p)
-        if x_axis == "log_p_t" and has_log_pt:
-            ax[-1].set_xlabel("log p_t(beta)")
-        elif x_axis == "log_likelihood" and has_logl:
-            ax[-1].set_xlabel("log likelihood")
-        else:
-            ax[-1].set_xlabel("Iteration")
+        style = {"s": 10, **(scatter_kwargs or {})}
+        mappable = None
+        for axis, name, col in zip(axes, names, columns):
+            y_flat = np.concatenate(
+                [np.asarray(snap.x)[keep, col] for snap in snapshots]
+            )
+            mappable = axis.scatter(
+                x_flat, y_flat, c=shade, cmap=cmap,
+                vmin=min(chosen), vmax=max(chosen), **style,
+            )
+            axis.set_ylabel(name)
+        axes[-1].set_xlabel(x_label)
+        if fig is not None and mappable is not None:
+            fig.colorbar(mappable, ax=list(axes), label="Iteration")
         return fig
 
     def plot_quantile_bands(
@@ -269,56 +315,39 @@ class SMCHistory(History):
         line_kwargs=None,
         band_kwargs=None,
     ):
-        """Per-parameter quantile bands vs iteration (reference :348-427)."""
-        import matplotlib.pyplot as plt
+        """Median track and quantile band per parameter vs iteration.
 
-        if not self.sample_history:
-            raise ValueError("No sample history available to plot.")
-        q_low, q_high = quantile_interval
-        if not (0.0 <= q_low < 0.5 < q_high <= 1.0):
+        Behavioral parity with reference history.py:348-427 (same call
+        surface); quantiles are computed in one vectorized pass per
+        snapshot.
+        """
+        low, high = quantile_interval
+        if not 0.0 <= low < 0.5 < high <= 1.0:
             raise ValueError(
-                "quantile_interval must satisfy 0 <= low < 0.5 < high <= 1."
+                "quantile_interval must be (low, high) with "
+                f"0 <= low < 0.5 < high <= 1; got {quantile_interval}."
             )
-        first = self.sample_history[0]
-        all_parameters = first.parameters or [
-            f"x_{i}" for i in range(first.dims)
-        ]
-        if parameters is None:
-            parameters = all_parameters
-        indices = [all_parameters.index(p) for p in parameters]
-        n_params = len(indices)
+        fig, axes, names, columns = self._panel_layout(parameters, ax)
 
-        if ax is None:
-            fig, axs = plt.subplots(
-                n_params, 1, sharex=True, figsize=(6, 2 * n_params)
-            )
-            axs = np.atleast_1d(axs)
-        else:
-            fig = None
-            axs = np.atleast_1d(ax)
-            if len(axs) != n_params:
-                raise ValueError(
-                    "Number of axes must match number of requested "
-                    "parameters."
+        # (n_iterations, 3, n_params): lower / median / upper per step.
+        bands = np.stack(
+            [
+                np.quantile(
+                    np.asarray(snap.to_numpy().x)[:, columns],
+                    [low, 0.5, high],
+                    axis=0,
                 )
-
-        line_kwargs = {"color": "C0", "lw": 1.5, **(line_kwargs or {})}
-        band_kwargs = {"color": "C0", "alpha": 0.2, **(band_kwargs or {})}
-
-        iters = np.arange(len(self.sample_history))
-        quantiles = np.empty((3, len(self.sample_history), n_params))
-        for it, samples in enumerate(self.sample_history):
-            x_np = np.asarray(samples.to_numpy().x)
-            for j, idx in enumerate(indices):
-                quantiles[:, it, j] = np.quantile(
-                    x_np[:, idx], [q_low, 0.5, q_high]
-                )
-
-        for j, (axis, param) in enumerate(zip(axs, parameters)):
-            axis.plot(iters, quantiles[1, :, j], **line_kwargs)
+                for snap in self.sample_history
+            ]
+        )
+        steps = np.arange(bands.shape[0])
+        track_style = {"color": "C0", "lw": 1.5, **(line_kwargs or {})}
+        band_style = {"color": "C0", "alpha": 0.2, **(band_kwargs or {})}
+        for panel, (axis, name) in enumerate(zip(axes, names)):
             axis.fill_between(
-                iters, quantiles[0, :, j], quantiles[2, :, j], **band_kwargs
+                steps, bands[:, 0, panel], bands[:, 2, panel], **band_style
             )
-            axis.set_ylabel(param)
-        axs[-1].set_xlabel("Iteration")
+            axis.plot(steps, bands[:, 1, panel], **track_style)
+            axis.set_ylabel(name)
+        axes[-1].set_xlabel("Iteration")
         return fig

@@ -9,7 +9,6 @@ reuse for overlays).
 
 from __future__ import annotations
 
-import copy
 from typing import Any
 
 import numpy as np
@@ -111,54 +110,59 @@ def plot_comparison(
     labels: list[str] | None = None,
     **kwargs,
 ):
-    """Overlayed corner plots of multiple Samples objects."""
-    import matplotlib.pyplot as plt
+    """Overlay corner plots for several sample sets on shared axes.
 
-    default_kwargs = dict(
-        density=True,
-        bins=30,
-        color="C0",
-        smooth=1.0,
-        plot_datapoints=True,
-        plot_density=False,
-        hist_kwargs=dict(density=True, color="C0"),
-    )
-    default_kwargs.update(kwargs)
+    Common ``kwargs`` apply to every set; ``per_samples_kwargs[i]``
+    overrides them for set ``i``. Colors default to the matplotlib
+    cycle (``C0``, ``C1``, ...); pass ``color`` inside a per-sample
+    dict to override. ``labels`` adds a figure legend drawn with proxy
+    line handles, one per sample set.
+    """
+    from matplotlib.lines import Line2D
 
     if per_samples_kwargs is None:
-        per_samples_kwargs = [{} for _ in samples]
-    elif len(per_samples_kwargs) != len(samples):
+        per_samples_kwargs = [{}] * len(samples)
+    if len(per_samples_kwargs) != len(samples):
         raise ValueError(
-            "per_samples_kwargs must have the same length as samples"
+            f"Got {len(per_samples_kwargs)} per-sample kwarg dicts for "
+            f"{len(samples)} sample sets; they must have the same length."
         )
 
+    colors = []
     fig = None
-    for i, sample in enumerate(samples):
-        kwds = copy.deepcopy(default_kwargs)
-        sample_kwargs = copy.deepcopy(per_samples_kwargs[i])
-        color = sample_kwargs.pop("color", f"C{i}")
-        kwds["color"] = color
-        kwds["hist_kwargs"]["color"] = color
-        kwds.update(sample_kwargs)
-        previous_fig = fig
-        fig = sample.plot_corner(fig=fig, parameters=parameters, **kwds)
-        if previous_fig is not None and fig is not previous_fig:
-            plt.close(previous_fig)
+    for index, (sample_set, overrides) in enumerate(
+        zip(samples, per_samples_kwargs)
+    ):
+        options = {"bins": 30, "density": True, **kwargs, **overrides}
+        color = options.pop("color", f"C{index}")
+        colors.append(color)
+        options["hist_kwargs"] = {
+            "color": color,
+            **options.get("hist_kwargs", {}),
+        }
+        fig = sample_set.plot_corner(
+            fig=fig, parameters=parameters, color=color, **options
+        )
 
     if labels:
-        fig.legend(
-            labels=labels,
-            loc="upper right",
-            bbox_to_anchor=(0.9, 0.9),
-            bbox_transform=fig.transFigure,
-        )
+        handles = [
+            Line2D([], [], color=c, label=text)
+            for c, text in zip(colors, labels)
+        ]
+        fig.legend(handles=handles, loc="upper right")
     return fig
 
 
 def plot_history_comparison(*histories):
-    if not all(isinstance(h, type(histories[0])) for h in histories):
-        raise ValueError("All histories must be of the same type")
-    fig = histories[0].plot()
-    for history in histories[1:]:
+    """Draw several histories' diagnostic panels onto one shared figure."""
+    kinds = {type(h) for h in histories}
+    if len(kinds) > 1:
+        names = ", ".join(sorted(k.__name__ for k in kinds))
+        raise ValueError(
+            f"Cannot compare histories of mixed types ({names}); all "
+            "inputs must be of the same type."
+        )
+    fig = None
+    for history in histories:
         fig = history.plot(fig=fig)
     return fig

@@ -3,8 +3,8 @@
 TPU-native data model replacing the reference's xp-polymorphic dataclasses
 (``/root/reference/src/aspire/samples.py``). All arrays are JAX arrays in a
 single namespace; conversion happens only at I/O and plotting boundaries.
-The hot path inside samplers operates on flat pytrees
-(:mod:`aspire_tpu.samplers.state`); these classes are the user-facing API:
+The hot path inside samplers operates on plain JAX arrays (see
+:mod:`aspire_tpu.samplers.smc`); these classes are the user-facing API:
 
 - :class:`BaseSamples`  — x, log_likelihood, log_prior, log_q (reference
   samples.py:36-413)
@@ -68,6 +68,98 @@ def _resample_on_device(
 import logging
 
 logger = logging.getLogger("aspire_tpu")
+
+
+# ---------------------------------------------------------------------------
+# Tempered-ladder evidence reductions (thermodynamic integration and
+# stepping stone). Both are single jitted reductions over the full
+# (n_rungs, n_samples) log-likelihood matrix, ordered cold -> hot is NOT
+# assumed: callers pass betas ascending (prior at index 0, posterior last).
+#
+# Error bars use the delta method with an effective sample size
+# n / tau per rung, where tau is the integrated autocorrelation time of
+# the rung's log-likelihood series — chains that mix poorly report
+# honestly wider errors instead of the iid-sample fiction.
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def _trapezoid_weights(betas):
+    """Node weights w with ``w @ f == jnp.trapezoid(f, betas)``."""
+    gaps = jnp.diff(betas)
+    w = jnp.zeros_like(betas)
+    w = w.at[:-1].add(0.5 * gaps)
+    w = w.at[1:].add(0.5 * gaps)
+    return w
+
+
+@jax.jit
+def _ti_reduce(betas, logl, tau):
+    """Thermodynamic integration: ``logZ = ∫ E_beta[logL] dbeta``.
+
+    ``betas``: (T,) ascending. ``logl``: (T, S) per-rung log-likelihood
+    draws. ``tau``: (T,) integrated autocorrelation times (>= 1).
+
+    The quadrature error bar is the delta method applied to the
+    trapezoid rule: rungs are independent chains, so
+    ``Var(logZ) = sum_t w_t^2 Var(mean logL_t)`` with the per-rung mean
+    variance deflated by the effective sample count ``S / tau_t``.
+    """
+    w = _trapezoid_weights(betas)
+    mean_logl = jnp.mean(logl, axis=1)
+    n_eff = logl.shape[1] / tau
+    var_of_mean = jnp.var(logl, axis=1) / n_eff
+    logz = w @ mean_logl
+    err = jnp.sqrt(jnp.sum(jnp.square(w) * var_of_mean))
+    return logz, err
+
+
+@jax.jit
+def _stepping_stone_reduce(betas, logl, tau):
+    """Stepping-stone: ``logZ = sum_j log E_{beta_j}[ L^{dbeta_j} ]``.
+
+    Each ratio ``r_j = Z(beta_{j+1}) / Z(beta_j)`` is estimated from the
+    hotter rung ``j`` with a max-shifted mean-exp (f32-safe). All rungs
+    are reduced at once: (T-1, S) shifted integrand, one vmap-free pass.
+
+    Error: delta method per rung,
+    ``Var(log r_j) ≈ relvar(g_j) / n_eff_j`` with
+    ``relvar = Var(g)/mean(g)^2``, summed over rungs (independent
+    chains).
+    """
+    gaps = jnp.diff(betas)  # (T-1,)
+    a = gaps[:, None] * logl[:-1]  # hotter rung powers the ratio
+    shift = jnp.max(a, axis=1, keepdims=True)
+    g = jnp.exp(a - shift)
+    g_mean = jnp.mean(g, axis=1)
+    log_r = jnp.log(g_mean) + jnp.squeeze(shift, axis=1)
+    n_eff = logl.shape[1] / tau[:-1]
+    rel_var = jnp.var(g, axis=1) / (n_eff * jnp.square(g_mean))
+    return jnp.sum(log_r), jnp.sqrt(jnp.sum(rel_var))
+
+
+def _integrated_autocorr_1d(series: np.ndarray, c: float = 5.0) -> float:
+    """Sokal-windowed IAT of a ``(n_steps, n_chains)`` scalar series.
+
+    Returns 1.0 for degenerate (constant / too-short) series so callers
+    can use it directly as an ESS deflator.
+    """
+    series = np.asarray(series, dtype=np.float64)
+    n = series.shape[0]
+    if n < 4:
+        return 1.0
+    centered = series - series.mean(axis=0, keepdims=True)
+    nfft = 1 << (2 * n - 1).bit_length()
+    spec = np.fft.rfft(centered, n=nfft, axis=0)
+    acf = np.fft.irfft(spec * np.conjugate(spec), n=nfft, axis=0)[:n].real
+    acf = acf.mean(axis=1)
+    if not np.isfinite(acf[0]) or acf[0] <= 0:
+        return 1.0
+    rho = acf / acf[0]
+    tau_running = 2.0 * np.cumsum(rho) - 1.0
+    window = np.nonzero(np.arange(n) >= c * tau_running)[0]
+    tau = tau_running[window[0]] if window.size else tau_running[-1]
+    return float(max(tau, 1.0))
 
 Array = Any
 
@@ -606,115 +698,103 @@ class PTMCMCSamples(MCMCSamples):
             betas=self.betas,
         )
 
-    def log_evidence_thermodynamic_integration(
-        self, burn_in_fraction: float | None = 0.1, method: str = "variance"
-    ) -> tuple[float, float]:
-        """Thermodynamic-integration logZ (Annis 2019 §2.1.3, eqs. 35-37).
+    def _ladder_logl(
+        self, burn_in_fraction: float | None, correlated: bool
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Per-rung log-likelihood draws, ordered prior -> posterior.
 
-        Parity: reference samples.py:1013-1102.
+        Returns ``(betas, logl, tau)`` with betas (T,) ascending, logl
+        (T, S) after burn-in removal, and tau the per-rung integrated
+        autocorrelation time of the logL series (all ones when
+        ``correlated`` is off).
         """
         if self.betas is None:
-            raise ValueError("Betas must be provided to compute evidence")
-        logl_chain = to_numpy(self._reshape_like_chain(self.log_likelihood))
-        istart = (
-            int(logl_chain.shape[1] * burn_in_fraction)
-            if burn_in_fraction is not None
-            else 0
-        )
-        logl_chain = logl_chain[:, istart:]
-        logl_chain = logl_chain.reshape(logl_chain.shape[0], -1)
-        if logl_chain.shape[1] == 0:
             raise ValueError(
-                "No samples available after burn-in for TI evidence"
+                "This ladder has no inverse temperatures (betas=None); "
+                "evidence estimation needs them."
             )
-        order = np.argsort(self.betas)
-        betas = np.asarray(self.betas)[order]
-        logls = logl_chain[order]
-        mean_logls = np.mean(logls, axis=1)
-        log_evidence = np.trapezoid(mean_logls, betas)
-        if method == "variance":
-            # Eq. (36)-(37): per-sample TI values, variance of the mean.
-            ti_per_sample = np.trapezoid(logls, betas, axis=0)
-            n = ti_per_sample.shape[0]
-            log_evidence_error = math.sqrt(float(np.var(ti_per_sample) / n))
-        elif method == "coarse":
-            # Error from comparing against integration on every other beta.
-            betas_desc = betas[::-1]
-            logls_desc = mean_logls[::-1]
-            if betas_desc[-1] != 0:
-                logger.warning(
-                    "Hottest chain is not at beta=0; duplicating hottest "
-                    "chain at beta=0 for error estimation"
-                )
-                betas_full = np.concatenate((betas_desc, [0]))
-                betas_half = np.concatenate((betas_desc[::2], [0]))
-                logls_half = np.concatenate(
-                    (logls_desc[::2], [logls_desc[-1]])
-                )
-                logls_full = np.concatenate((logls_desc, [logls_desc[-1]]))
-            else:
-                betas_full = betas_desc
-                logls_full = logls_desc
-                betas_half = np.concatenate((betas_desc[:-1:2], [0]))
-                logls_half = np.concatenate(
-                    (logls_desc[:-1:2], [logls_desc[-1]])
-                )
-            del betas_full, logls_full  # full integral already computed
-            log_evidence_2 = -np.trapezoid(logls_half, betas_half)
-            log_evidence_error = abs(log_evidence - log_evidence_2)
+        if self.log_likelihood is None:
+            raise ValueError(
+                "Evidence estimation needs per-sample log-likelihoods."
+            )
+        # (T, n_steps, n_walkers)
+        by_rung = to_numpy(self._reshape_like_chain(self.log_likelihood))
+        if burn_in_fraction:
+            skip = int(round(by_rung.shape[1] * burn_in_fraction))
+            by_rung = by_rung[:, skip:]
+        if by_rung[0].size == 0:
+            raise ValueError(
+                "Burn-in removed every step of the chain; lower "
+                "burn_in_fraction or run longer chains."
+            )
+        ascending = np.argsort(np.asarray(self.betas))
+        betas = np.asarray(self.betas, dtype=np.float64)[ascending]
+        by_rung = by_rung[ascending]
+        if correlated:
+            tau = np.array(
+                [_integrated_autocorr_1d(rung) for rung in by_rung]
+            )
         else:
-            raise ValueError(
-                f"Invalid method for log evidence error estimation: {method}"
-            )
-        return float(log_evidence), float(log_evidence_error)
+            tau = np.ones(len(betas))
+        return betas, by_rung.reshape(len(betas), -1), tau
+
+    def log_evidence_thermodynamic_integration(
+        self,
+        burn_in_fraction: float | None = 0.1,
+        method: str = "variance",
+        correlated: bool = True,
+    ) -> tuple[float, float]:
+        """Thermodynamic-integration logZ over the temperature ladder.
+
+        ``method="variance"`` reports the delta-method quadrature error
+        (autocorrelation-deflated ESS per rung when ``correlated``);
+        ``method="coarse"`` reports the discretization error
+        ``|I_full - I_half|`` from re-integrating on every other rung.
+
+        Behavioral parity with reference samples.py:1013-1102; the
+        estimator itself is an original jitted reduction
+        (:func:`_ti_reduce`).
+        """
+        betas, logl, tau = self._ladder_logl(burn_in_fraction, correlated)
+        logz, err = (
+            float(v) for v in _ti_reduce(betas, logl, tau)
+        )
+        if method == "variance":
+            return logz, err
+        if method == "coarse":
+            # Richardson-style check: keep every other rung plus both
+            # endpoints, re-integrate, and report the difference.
+            keep = sorted(set(range(0, len(betas), 2)) | {len(betas) - 1})
+            coarse = float(np.trapezoid(logl.mean(axis=1)[keep], betas[keep]))
+            return logz, abs(logz - coarse)
+        raise ValueError(
+            f"Unknown TI error method {method!r}; expected 'variance' "
+            "or 'coarse'."
+        )
 
     def log_evidence_stepping_stone(
-        self, burn_in_fraction: float | None = 0.1
+        self,
+        burn_in_fraction: float | None = 0.1,
+        correlated: bool = True,
     ) -> tuple[float, float]:
-        """Stepping-stone logZ (Annis 2019 §2.2.3, eqs. 51-53).
+        """Stepping-stone logZ: product of per-rung power ratios.
 
-        Parity: reference samples.py:1104-1170.
+        Requires the ladder to reach the prior (a rung at beta=0), since
+        the telescoping product starts from Z(0)=1.
+
+        Behavioral parity with reference samples.py:1104-1170; the
+        estimator is an original all-rungs-at-once jitted reduction
+        (:func:`_stepping_stone_reduce`).
         """
-        if self.betas is None:
-            raise ValueError("Betas must be provided to compute evidence")
-        betas_arr = np.asarray(self.betas)
-        if betas_arr[-1] != 0:
+        betas, logl, tau = self._ladder_logl(burn_in_fraction, correlated)
+        if betas[0] != 0.0:
             raise ValueError(
-                "Stepping stone estimator requires the hottest chain to be "
-                "at beta=0"
+                "The stepping-stone estimator needs a rung at beta=0 "
+                f"(the prior); the hottest rung supplied is at "
+                f"beta={betas[0]}."
             )
-        logl_chain = to_numpy(self._reshape_like_chain(self.log_likelihood))
-        istart = (
-            int(logl_chain.shape[1] * burn_in_fraction)
-            if burn_in_fraction is not None
-            else 0
-        )
-        logl_chain = logl_chain[:, istart:]
-        logl_chain = logl_chain.reshape(logl_chain.shape[0], -1)
-        order = np.argsort(betas_arr)[::-1]
-        betas = betas_arr[order]
-        logls = logl_chain[order]
-        n_samples = logls.shape[1]
-        if n_samples == 0:
-            raise ValueError(
-                "No samples available after burn-in for stepping-stone "
-                "evidence"
-            )
-        log_evidence = 0.0
-        var_log_ss = 0.0
-        for i in range(len(betas) - 1):
-            dbeta = betas[i] - betas[i + 1]
-            # Eq. (51): log r_j = log mean exp(dbeta * logL_{j+1}).
-            a = dbeta * logls[i + 1]
-            a_max = np.max(a)
-            exp_shift = np.exp(a - a_max)
-            mean_shift = float(np.mean(exp_shift))
-            log_evidence += math.log(mean_shift) + float(a_max)
-            # Eq. (53) accumulation.
-            ratio = exp_shift / mean_shift
-            var_log_ss += float(np.sum(ratio**2))
-        var_log_ss /= n_samples**2
-        return float(log_evidence), math.sqrt(float(var_log_ss))
+        logz, err = _stepping_stone_reduce(betas, logl, tau)
+        return float(logz), float(err)
 
     def plot_chain(
         self, beta_index: int, n_walkers: int | None = None, **kwargs
