@@ -364,6 +364,279 @@ def hmc_step(
 
 
 # ---------------------------------------------------------------------------
+# NUTS (iterative, bounded depth, static shapes)
+# ---------------------------------------------------------------------------
+#
+# A real No-U-Turn sampler lowered for TPU: per-particle tree doubling
+# under ``vmap`` (so every global step still evaluates the whole particle
+# batch on the MXU, with finished particles masked), multinomial
+# progressive sampling over the trajectory, and the memory-efficient
+# within-subtree U-turn checks done iteratively with a checkpoint stack
+# of ``max_depth`` states instead of recursion. Matches the capability
+# of the reference's blackjax NUTS (reference smc/blackjax.py:206-251)
+# without data-dependent Python recursion: every shape is static and the
+# doubling loops are ``lax.while_loop``s with bounded trip counts.
+#
+# Stack discipline (derived from the balanced-tree structure): scanning
+# subtree leaves left to right, an even leaf is pushed (it starts a
+# size-2 subtree); an odd leaf ``i`` with ``t`` trailing one-bits closes
+# ``t`` nested subtrees, so it U-turn-checks against the top ``t`` stack
+# entries and pops ``t - 1`` of them (the deepest start survives as the
+# start of the next-size-up subtree).
+
+
+def _trailing_ones(i, n_bits: int):
+    """Number of contiguous low-order 1-bits of ``i`` (static unroll)."""
+    count = jnp.zeros((), jnp.int32)
+    running = jnp.ones((), bool)
+    for b in range(n_bits):
+        running = running & (((i >> b) & 1) == 1)
+        count = count + jnp.where(running, 1, 0)
+    return count
+
+
+def _is_uturn(z_a, p_a, z_b, p_b):
+    """Momenta at both ends point back across the segment a -> b."""
+    dz = z_b - z_a
+    return (jnp.dot(dz, p_a) < 0) | (jnp.dot(dz, p_b) < 0)
+
+
+def nuts_trajectory(
+    key,
+    z0,
+    lp0,
+    grad0,
+    value_and_grad_fn: Callable,
+    step_size,
+    max_depth: int = 8,
+    max_delta_energy: float = 1000.0,
+):
+    """One NUTS trajectory for a single particle (vmap over particles).
+
+    Returns ``(z, lp, grad, accept_stat, n_leapfrog, depth)`` where
+    ``accept_stat`` is the mean Metropolis ratio over all visited
+    leaves (the dual-averaging statistic) and ``n_leapfrog`` / ``depth``
+    expose the data-dependent trajectory size for diagnostics.
+    """
+    d = z0.shape[0]
+    dtype = z0.dtype
+    key, mom_key = jax.random.split(key)
+    p0 = jax.random.normal(mom_key, (d,), dtype=dtype)
+    h0 = 0.5 * jnp.dot(p0, p0) - lp0
+    eps = step_size.astype(dtype)
+
+    def leapfrog(z, p, grad):
+        p_half = p + 0.5 * eps * grad
+        z_new = z + eps * p_half
+        lp_new, grad_new = value_and_grad_fn(z_new)
+        p_new = p_half + 0.5 * eps * grad_new
+        return z_new, p_new, grad_new, lp_new
+
+    # Carry layout: edges are kept in the "true" integration frame
+    # (left momentum points left-to-right), subtrees are built in a
+    # mirrored frame where integration always runs forward.
+    tree = {
+        "key": key,
+        "zl": z0, "pl": p0, "gl": grad0,
+        "zr": z0, "pr": p0, "gr": grad0,
+        "zc": z0, "lpc": lp0, "gc": grad0,
+        "logw": jnp.zeros((), dtype),  # weight of the initial point
+        "depth": jnp.zeros((), jnp.int32),
+        "turning": jnp.zeros((), bool),
+        "diverging": jnp.zeros((), bool),
+        "acc_sum": jnp.zeros((), dtype),
+        "n_leaf": jnp.zeros((), jnp.int32),
+    }
+
+    n_slots = max_depth + 1
+
+    def doubling_body(tree):
+        key, dir_key, inner_key = jax.random.split(tree["key"], 3)
+        forward = jax.random.bernoulli(dir_key)
+        # Mirrored-frame start: extending left integrates the
+        # negated-momentum system forward (U-turn dot products are
+        # invariant under the joint flip of dz and p).
+        z_e = jnp.where(forward, tree["zr"], tree["zl"])
+        p_e = jnp.where(forward, tree["pr"], -tree["pl"])
+        g_e = jnp.where(forward, tree["gr"], tree["gl"])
+        n_leaves = jnp.left_shift(
+            jnp.ones((), jnp.int32), tree["depth"]
+        )
+
+        sub = {
+            "key": inner_key,
+            "i": jnp.zeros((), jnp.int32),
+            "z": z_e, "p": p_e, "g": g_e,
+            "zc": z_e, "lpc": jnp.zeros((), dtype), "gc": g_e,
+            "logw": jnp.full((), -jnp.inf, dtype),
+            "z_stack": jnp.zeros((n_slots, d), dtype),
+            "p_stack": jnp.zeros((n_slots, d), dtype),
+            "sp": jnp.zeros((), jnp.int32),
+            "turning": jnp.zeros((), bool),
+            "diverging": jnp.zeros((), bool),
+            "acc_sum": tree["acc_sum"],
+            "n_leaf": tree["n_leaf"],
+        }
+
+        def leaf_cond(s):
+            return (
+                (s["i"] < n_leaves) & ~s["turning"] & ~s["diverging"]
+            )
+
+        def leaf_body(s):
+            key, pick_key = jax.random.split(s["key"])
+            z_n, p_n, g_n, lp_n = leapfrog(s["z"], s["p"], s["g"])
+            h = 0.5 * jnp.dot(p_n, p_n) - lp_n
+            lw = h0 - h
+            lw = jnp.where(jnp.isnan(lw), -jnp.inf, lw)
+            diverging = lw < -max_delta_energy
+            # Progressive multinomial sampling within the subtree.
+            logw_new = jnp.logaddexp(s["logw"], lw)
+            take = (
+                jnp.log(jax.random.uniform(pick_key, dtype=dtype))
+                < lw - logw_new
+            )
+            # Checkpoint-stack U-turn checks (see module comment).
+            i = s["i"]
+            even = (i % 2) == 0
+            z_stack = jnp.where(
+                even, s["z_stack"].at[s["sp"]].set(z_n), s["z_stack"]
+            )
+            p_stack = jnp.where(
+                even, s["p_stack"].at[s["sp"]].set(p_n), s["p_stack"]
+            )
+            t_ones = _trailing_ones(i, max_depth + 1)
+            turning = s["turning"]
+            for k in range(1, max_depth + 1):
+                applies = (~even) & (k <= t_ones)
+                slot = s["sp"] - k
+                turn_k = _is_uturn(
+                    s["z_stack"][slot], s["p_stack"][slot], z_n, p_n
+                )
+                turning = turning | (applies & turn_k)
+            sp = jnp.where(
+                even, s["sp"] + 1, s["sp"] - (t_ones - 1)
+            )
+            return {
+                "key": key,
+                "i": i + 1,
+                "z": z_n, "p": p_n, "g": g_n,
+                "zc": jnp.where(take, z_n, s["zc"]),
+                "lpc": jnp.where(take, lp_n, s["lpc"]),
+                "gc": jnp.where(take, g_n, s["gc"]),
+                "logw": logw_new,
+                "z_stack": z_stack,
+                "p_stack": p_stack,
+                "sp": sp,
+                "turning": turning,
+                "diverging": diverging,
+                "acc_sum": s["acc_sum"]
+                + jnp.exp(jnp.minimum(lw, 0.0)),
+                "n_leaf": s["n_leaf"] + 1,
+            }
+
+        sub = jax.lax.while_loop(leaf_cond, leaf_body, sub)
+
+        ok = ~sub["turning"] & ~sub["diverging"]
+        key, swap_key = jax.random.split(key)
+        # Biased progressive sampling across the doubling: favor the
+        # new half proportionally to its total weight.
+        swap = ok & (
+            jnp.log(jax.random.uniform(swap_key, dtype=dtype))
+            < sub["logw"] - tree["logw"]
+        )
+        grew_right = ok & forward
+        grew_left = ok & ~forward
+        zl = jnp.where(grew_left, sub["z"], tree["zl"])
+        pl = jnp.where(grew_left, -sub["p"], tree["pl"])
+        gl = jnp.where(grew_left, sub["g"], tree["gl"])
+        zr = jnp.where(grew_right, sub["z"], tree["zr"])
+        pr = jnp.where(grew_right, sub["p"], tree["pr"])
+        gr = jnp.where(grew_right, sub["g"], tree["gr"])
+        return {
+            "key": key,
+            "zl": zl, "pl": pl, "gl": gl,
+            "zr": zr, "pr": pr, "gr": gr,
+            "zc": jnp.where(swap, sub["zc"], tree["zc"]),
+            "lpc": jnp.where(swap, sub["lpc"], tree["lpc"]),
+            "gc": jnp.where(swap, sub["gc"], tree["gc"]),
+            "logw": jnp.where(
+                ok, jnp.logaddexp(tree["logw"], sub["logw"]), tree["logw"]
+            ),
+            "depth": tree["depth"] + 1,
+            "turning": sub["turning"] | (ok & _is_uturn(zl, pl, zr, pr)),
+            "diverging": sub["diverging"],
+            "acc_sum": sub["acc_sum"],
+            "n_leaf": sub["n_leaf"],
+        }
+
+    def doubling_cond(tree):
+        return (
+            ~tree["turning"]
+            & ~tree["diverging"]
+            & (tree["depth"] < max_depth)
+        )
+
+    tree = jax.lax.while_loop(doubling_cond, doubling_body, tree)
+    accept_stat = tree["acc_sum"] / jnp.maximum(tree["n_leaf"], 1)
+    return (
+        tree["zc"],
+        tree["lpc"],
+        tree["gc"],
+        accept_stat.astype(dtype),
+        tree["n_leaf"],
+        tree["depth"],
+    )
+
+
+def nuts_step(
+    state: ChainState,
+    log_prob_fn: Callable,
+    max_depth: int = 8,
+    max_delta_energy: float = 1000.0,
+    target_acceptance: float = 0.8,
+    adaptation_rate: float = 0.05,
+) -> ChainState:
+    """One NUTS transition for the whole particle batch.
+
+    ``vmap`` over :func:`nuts_trajectory`: each particle doubles its own
+    trajectory, all particles advance in lockstep on device (finished
+    lanes are masked by the batched while_loop). ``n_accept``
+    accumulates the per-particle mean Metropolis ratio so the recorded
+    SMC acceptance stays comparable with the other kernels.
+    """
+
+    def lp_single(z_i):
+        return jnp.reshape(log_prob_fn(z_i[None, :]), ())
+
+    value_and_grad_fn = jax.value_and_grad(lp_single)
+    key, traj_key = jax.random.split(state.key)
+    n = state.x.shape[0]
+    keys = jax.random.split(traj_key, n)
+    x, lp, grad, accept_stat, _, _ = jax.vmap(
+        lambda k, z, l, g: nuts_trajectory(
+            k, z, l, g, value_and_grad_fn, state.step_size,
+            max_depth=max_depth, max_delta_energy=max_delta_energy,
+        )
+    )(keys, state.x, state.log_prob, state.grad)
+    eps_new = _adapt_step_size(
+        state.step_size,
+        jnp.mean(accept_stat),
+        target_acceptance,
+        adaptation_rate,
+        max_log_step=2.3,
+    )
+    return ChainState(
+        x=x,
+        log_prob=lp,
+        key=key,
+        step_size=eps_new,
+        n_accept=state.n_accept + accept_stat,
+        grad=grad,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Affine-invariant ensemble (emcee stretch move)
 # ---------------------------------------------------------------------------
 
@@ -436,17 +709,69 @@ def run_chain(
     state: ChainState,
     n_steps: int,
     store_chain: bool = False,
+    track_autocorr: bool = False,
 ):
     """Run ``n_steps`` of ``step_fn`` under ``lax.scan``.
 
     Returns ``(final_state, chain)`` where ``chain`` is the stacked
-    positions ``(n_steps, n, d)`` if ``store_chain`` else None.
+    positions ``(n_steps, n, d)`` if ``store_chain`` else None. With
+    ``track_autocorr=True`` a third value is returned: a scalar
+    integrated-autocorrelation-time estimate for the chain (see
+    :func:`lag1_autocorr_time`), computed online from O(n d) running
+    sums so the chain itself never needs to be materialized.
     """
+    if not track_autocorr:
+
+        def body(carry, _):
+            new = step_fn(carry)
+            out = new.x if store_chain else None
+            return new, out
+
+        final, chain = jax.lax.scan(body, state, None, length=n_steps)
+        return final, chain
+
+    x0 = state.x
+    init = (state, x0, x0, jnp.square(x0), jnp.zeros_like(x0))
 
     def body(carry, _):
-        new = step_fn(carry)
+        st, prev_x, s1, s2, c1 = carry
+        new = step_fn(st)
         out = new.x if store_chain else None
-        return new, out
+        carry = (
+            new,
+            new.x,
+            s1 + new.x,
+            s2 + jnp.square(new.x),
+            c1 + new.x * prev_x,
+        )
+        return carry, out
 
-    final, chain = jax.lax.scan(body, state, None, length=n_steps)
-    return final, chain
+    (final, _, s1, s2, c1), chain = jax.lax.scan(
+        body, init, None, length=n_steps
+    )
+    tau = lag1_autocorr_time(s1, s2, c1, n_steps)
+    return final, chain, tau
+
+
+def lag1_autocorr_time(s1, s2, c1, n_steps: int):
+    """IAT from per-walker lag-1 autocorrelation (AR(1) formula).
+
+    ``s1``/``s2`` are sums of x and x^2 over the ``n_steps + 1`` chain
+    points (including the start), ``c1`` the sum of the ``n_steps``
+    lag-1 products, all shaped ``(n_walkers, d)``. The per-dimension
+    walker-averaged lag-1 correlation ``rho`` gives
+    ``tau = (1 + rho) / (1 - rho)`` — exact for an AR(1) chain, a
+    cheap online surrogate for the windowed Sokal estimate used on
+    stored chains (:meth:`MCMCSamples.compute_autocorrelation_time`).
+    Walkers with zero variance (no accepted move) count as perfectly
+    correlated. Clipped to ``[1, n_steps]`` — an IAT beyond the chain
+    length is not measurable from the chain.
+    """
+    m = n_steps + 1
+    mean = s1 / m
+    var = s2 / m - jnp.square(mean)
+    cov1 = c1 / n_steps - jnp.square(mean)
+    rho = jnp.where(var > 1e-12, cov1 / jnp.maximum(var, 1e-12), 1.0)
+    rho_dim = jnp.clip(jnp.mean(rho, axis=0), -0.999, 0.999)
+    tau_dim = (1 + rho_dim) / (1 - rho_dim)
+    return jnp.mean(jnp.clip(tau_dim, 1.0, float(max(n_steps, 1))))

@@ -376,6 +376,7 @@ class SMCSampler(Sampler):
                     log_pi,
                     log_l,
                     acc_arr,
+                    tau_arr,
                     any_nan_q,
                     any_nan_target,
                     step_carry,
@@ -392,10 +393,11 @@ class SMCSampler(Sampler):
             self._step_size_carry = step_carry
             self.n_likelihood_evaluations += (n_steps + 1) * z.shape[0]
             with self.profiler.phase("mutate/sync"):
-                acceptance, nan_q, nan_target = jax.device_get(
-                    (acc_arr, any_nan_q, any_nan_target)
+                acceptance, tau, nan_q, nan_target = jax.device_get(
+                    (acc_arr, tau_arr, any_nan_q, any_nan_target)
                 )
             self.history.mcmc_acceptance.append(float(acceptance))
+            self.history.mcmc_autocorr.append(float(tau))
             new = SMCSamples(
                 x=x,
                 beta=beta,
@@ -417,7 +419,7 @@ class SMCSampler(Sampler):
         with self.profiler.phase("mutate/fit_reference"):
             ref = K.fit_gaussian_reference(z)
         with self.profiler.phase("mutate/chain"):
-            final_state = self._mutate_host(
+            final_state, tau = self._mutate_host(
                 flow_state,
                 precond,
                 z,
@@ -435,6 +437,7 @@ class SMCSampler(Sampler):
                 jnp.mean(final_state.n_accept / max(n_steps, 1))
             )
         self.history.mcmc_acceptance.append(acceptance)
+        self.history.mcmc_autocorr.append(float(tau))
 
         x, _ = self.invert_preconditioning(final_state.x)
         new = SMCSamples(
@@ -496,7 +499,9 @@ class SMCSampler(Sampler):
                     n_accept=jnp.zeros(z.shape[0], dtype=z.dtype),
                     grad=grad,
                 )
-                final, _ = K.run_chain(step_fn, state, n_steps)
+                final, _, tau = K.run_chain(
+                    step_fn, state, n_steps, track_autocorr=True
+                )
                 # Post-chain density refresh fused into the same program
                 # (one dispatch per mutation, not two).
                 if precond is None:
@@ -518,6 +523,7 @@ class SMCSampler(Sampler):
                     log_pi,
                     log_l,
                     acceptance,
+                    tau,
                     any_nan_q,
                     any_nan_target,
                     final.step_size,
@@ -612,11 +618,21 @@ class SMCSampler(Sampler):
                 out["ratio_h"],
                 out["var_h"],
                 out["acc_h"],
+                out["tau_h"],
             )
         )
-        beta, it, stalled, beta_h, ess_h, ess1_h, ratio_h, var_h, acc_h = (
-            scalars
-        )
+        (
+            beta,
+            it,
+            stalled,
+            beta_h,
+            ess_h,
+            ess1_h,
+            ratio_h,
+            var_h,
+            acc_h,
+            tau_h,
+        ) = scalars
         it = int(it)
         if bool(stalled):
             raise BetaScheduleError(
@@ -636,6 +652,7 @@ class SMCSampler(Sampler):
             self.history.log_norm_ratio.append(float(ratio_h[i]))
             self.history.log_norm_ratio_var.append(float(var_h[i]))
             self.history.mcmc_acceptance.append(float(acc_h[i]))
+            self.history.mcmc_autocorr.append(float(tau_h[i]))
             logger.info(
                 "it %d - beta: %.6g  ESS: %.1f (%.2f eff)  "
                 "logZ ratio: %.3f",
@@ -711,6 +728,7 @@ class SMCSampler(Sampler):
                 "ratio_h": zeros_h,
                 "var_h": zeros_h,
                 "acc_h": zeros_h,
+                "tau_h": zeros_h,
             }
 
             def cond(s):
@@ -776,7 +794,9 @@ class SMCSampler(Sampler):
                     n_accept=jnp.zeros(n, dtype=dtype),
                     grad=grad0,
                 )
-                final, _ = K.run_chain(step_fn, chain0, n_steps)
+                final, _, tau = K.run_chain(
+                    step_fn, chain0, n_steps, track_autocorr=True
+                )
                 x_m = final.x
                 lq_m = flow_log_prob(flow_state, x_m).astype(dtype)
                 view = make_view(x_m)
@@ -809,6 +829,7 @@ class SMCSampler(Sampler):
                     "ratio_h": s["ratio_h"].at[i].set(ratio),
                     "var_h": s["var_h"].at[i].set(var),
                     "acc_h": s["acc_h"].at[i].set(acc),
+                    "tau_h": s["tau_h"].at[i].set(tau.astype(dtype)),
                 }
 
             return jax.lax.while_loop(cond, body, state)
@@ -840,9 +861,16 @@ class SMCSampler(Sampler):
             n_accept=jnp.zeros(z.shape[0], dtype=z.dtype),
             grad=None,
         )
+        # Same online lag-1 IAT stats the jitted path tracks in-scan.
+        prev_x, s1, s2, c1 = z, z, jnp.square(z), jnp.zeros_like(z)
         for _ in range(n_steps):
             state = step_fn(state)
-        return state
+            s1 = s1 + state.x
+            s2 = s2 + jnp.square(state.x)
+            c1 = c1 + state.x * prev_x
+            prev_x = state.x
+        tau = K.lag1_autocorr_time(s1, s2, c1, n_steps)
+        return state, tau
 
     # -- main loop (reference smc/base.py:215-488) --------------------------
 
@@ -1250,11 +1278,13 @@ class EnsembleSMC(SMCSampler):
 
 
 class GradientSMC(SMCSampler):
-    """SMC with gradient-based mutation: RWMH, MALA, or HMC.
+    """SMC with gradient-based mutation: RWMH, MALA, HMC, or NUTS.
 
     Parity: reference ``BlackJAXSMC`` (smc/blackjax.py:13-358) with
-    native kernels. ``kernel="hmc"`` with ``jitter_trajectory=True`` is
-    the TPU-shaped NUTS surrogate (static trajectory bound).
+    native kernels. ``kernel="nuts"`` is a real No-U-Turn sampler —
+    per-particle data-dependent tree doubling under ``vmap``
+    (:func:`aspire_tpu.samplers.kernels.nuts_trajectory`), with
+    ``max_depth`` bounding the trajectory so every shape stays static.
     """
 
     kernel_name = "hmc"
@@ -1265,7 +1295,8 @@ class GradientSMC(SMCSampler):
             "n_steps": 5 * self.dims,
             "kernel": self.kernel_name,
             "step_size": 0.1,
-            "n_leapfrog": 10,
+            "n_leapfrog": 10,  # hmc only
+            "max_depth": 8,  # nuts only
             "adaptation_rate": 0.05,
         }
 
@@ -1300,7 +1331,7 @@ class GradientSMC(SMCSampler):
                 adaptation_rate=rate,
             )
             return step, init_step, True
-        if kernel in ("hmc", "nuts"):
+        if kernel == "hmc":
             step = partial(
                 K.hmc_step,
                 log_prob_and_grad_fn=lp_and_grad,
@@ -1309,8 +1340,18 @@ class GradientSMC(SMCSampler):
                     "target_acceptance_rate", 0.651
                 ),
                 adaptation_rate=rate,
-                jitter_trajectory=(kernel == "nuts")
-                or kwargs.get("jitter_trajectory", False),
+                jitter_trajectory=kwargs.get("jitter_trajectory", False),
+            )
+            return step, init_step, True
+        if kernel == "nuts":
+            step = partial(
+                K.nuts_step,
+                log_prob_fn=log_prob_fn,
+                max_depth=kwargs.get("max_depth", 8),
+                target_acceptance=kwargs.get(
+                    "target_acceptance_rate", 0.8
+                ),
+                adaptation_rate=rate,
             )
             return step, init_step, True
         raise ValueError(f"Unknown gradient kernel: {kernel}")

@@ -178,6 +178,11 @@ def test_save_results(fitted_aspire, tmp_path):
         sampler_kwargs={"n_steps": 5},
         return_history=True,
     )
+    # Every mutation records acceptance AND an autocorrelation-time
+    # estimate (reference EmceeSMC parity, smc/emcee.py:66-84).
+    assert len(history.mcmc_autocorr) == len(history.mcmc_acceptance)
+    assert len(history.mcmc_autocorr) > 0
+    assert all(1.0 <= t <= 5.0 for t in history.mcmc_autocorr)
     path = tmp_path / "result.h5"
     with AspireFile(path, "w") as f:
         fitted_aspire.save_config(f, "aspire_config")

@@ -118,6 +118,40 @@ class TestKernelInvariance:
         final = run(step, init_state(key, step=0.3, with_grad=True), 200)
         check_moments(final)
 
+    def test_nuts(self, key):
+        step = partial(K.nuts_step, log_prob_fn=log_prob_fn, max_depth=6)
+        final = run(step, init_state(key, step=0.3, with_grad=True), 150)
+        check_moments(final)
+        # The dual-averaging statistic should sit near its 0.8 target
+        # once the step size has adapted.
+        acc = float(jnp.mean(final.n_accept)) / 150
+        assert acc == pytest.approx(0.8, abs=0.2)
+
+    def test_nuts_variable_trajectories(self, key):
+        """NUTS trees are data-dependent: particles in different parts
+        of the target stop at different depths (the property the old
+        jittered-HMC surrogate lacked)."""
+
+        def lp_single(z):
+            return jnp.reshape(log_prob_fn(z[None]), ())
+
+        vg = jax.value_and_grad(lp_single)
+        n = 256
+        x = jax.random.normal(key, (n, 2)) * TARGET_STD + TARGET_MEAN
+        lp = log_prob_fn(x)
+        grad = lp_and_grad(x)[1]
+        keys = jax.random.split(jax.random.key(7), n)
+        _, _, _, _, n_leaf, depth = jax.vmap(
+            lambda k, z, l, g: K.nuts_trajectory(
+                k, z, l, g, vg, jnp.asarray(0.3), max_depth=6
+            )
+        )(keys, x, lp, grad)
+        n_leaf = np.asarray(n_leaf)
+        depth = np.asarray(depth)
+        assert len(np.unique(n_leaf)) > 3
+        assert len(np.unique(depth)) > 1
+        assert n_leaf.max() <= 2**6
+
     def test_stretch(self, key):
         step = partial(K.stretch_step, log_prob_fn=log_prob_fn)
         final = run(step, init_state(key), 600)
@@ -158,6 +192,54 @@ class TestKernelInvariance:
         step = partial(K.pcn_step, log_prob_fn=nan_log_prob, ref=ref)
         final = run(step, init_state(key), 50)
         assert np.all(np.isfinite(np.asarray(final.log_prob)))
+
+
+class TestAutocorrTracking:
+    def test_ar1_recovers_tau(self, key):
+        """Feed run_chain an exact AR(1) update; the online lag-1 IAT
+        must match (1 + rho) / (1 - rho)."""
+        rho = 0.8
+
+        def ar1_step(state):
+            k, sub = jax.random.split(state.key)
+            noise = jax.random.normal(sub, state.x.shape)
+            x = rho * state.x + jnp.sqrt(1 - rho**2) * noise
+            return state._replace(x=x, key=k)
+
+        n_steps = 2000
+        state = init_state(key, n=256)
+        _, _, tau = jax.jit(
+            lambda s: K.run_chain(
+                ar1_step, s, n_steps, track_autocorr=True
+            )
+        )(state)
+        expected = (1 + rho) / (1 - rho)  # = 9.0
+        assert float(tau) == pytest.approx(expected, rel=0.15)
+
+    def test_frozen_chain_saturates(self, key):
+        """A chain that never moves reports the maximum measurable IAT."""
+        identity = lambda s: s  # noqa: E731
+        n_steps = 50
+        _, _, tau = jax.jit(
+            lambda s: K.run_chain(
+                identity, s, n_steps, track_autocorr=True
+            )
+        )(init_state(key, n=64))
+        assert float(tau) == pytest.approx(n_steps)
+
+    def test_independence_sampler_tau_one(self, key):
+        def fresh_step(state):
+            k, sub = jax.random.split(state.key)
+            return state._replace(
+                x=jax.random.normal(sub, state.x.shape), key=k
+            )
+
+        _, _, tau = jax.jit(
+            lambda s: K.run_chain(
+                fresh_step, s, 500, track_autocorr=True
+            )
+        )(init_state(key, n=128))
+        assert float(tau) == pytest.approx(1.0, abs=0.15)
 
 
 class TestGaussianReference:
