@@ -289,6 +289,15 @@ class Aspire:
                 dtype=self.dtype,
                 **preconditioning_kwargs,
             )
+            if transform.is_identity:
+                # No periodic/bounded/affine component is active: drop
+                # the no-op so samplers keep their transform-free fast
+                # paths (e.g. the single-dispatch device ladder).
+                logger.debug(
+                    "Default preconditioning is a no-op for this "
+                    "problem; running without a transform."
+                )
+                transform = None
         elif preconditioning == "flow":
             # Defaults inherited from the Aspire problem spec; anything
             # the user passes in preconditioning_kwargs overrides them.
@@ -601,7 +610,7 @@ class Aspire:
         """Recreate an Aspire object from a single file and prime resume."""
         (
             aspire,
-            checkpoint_bytes,
+            checkpoint_payload,
             checkpoint_state,
             sampler_config,
             saved_sampler_type,
@@ -616,7 +625,7 @@ class Aspire:
             config_path=config_path,
         )
         aspire._set_resume_defaults(
-            checkpoint_bytes=checkpoint_bytes,
+            checkpoint_payload=checkpoint_payload,
             checkpoint_state=checkpoint_state,
             sampler_config=sampler_config,
             saved_sampler_type=saved_sampler_type,
@@ -670,7 +679,7 @@ class Aspire:
         if resume and path.is_file():
             logger.info("Resuming from checkpoint file at %s", path)
             (
-                checkpoint_bytes,
+                checkpoint_payload,
                 checkpoint_state,
                 sampler_config,
                 saved_sampler_type,
@@ -683,7 +692,7 @@ class Aspire:
                 n_samples = requested
             self._load_flow_from_file(path, required=False)
             self._set_resume_defaults(
-                checkpoint_bytes=checkpoint_bytes,
+                checkpoint_payload=checkpoint_payload,
                 checkpoint_state=checkpoint_state,
                 sampler_config=sampler_config,
                 saved_sampler_type=saved_sampler_type,
@@ -715,7 +724,6 @@ class Aspire:
         sampler_config_path: str = "sampler_config",
     ):
         import h5py
-        import numpy as np
 
         with h5py.File(file_path, "r") as h5_file:
             config_dict = (
@@ -728,21 +736,10 @@ class Aspire:
                 if sampler_config_path in h5_file
                 else None
             )
-            try:
-                checkpoint_bytes = bytes(
-                    np.asarray(
-                        h5_file[checkpoint_path][checkpoint_dset][()]
-                    ).tobytes()
-                )
-            except Exception:
-                logger.warning(
-                    "Checkpoint not found at %s/%s in %s; will resume "
-                    "without a checkpoint.",
-                    checkpoint_path,
-                    checkpoint_dset,
-                    file_path,
-                )
-                checkpoint_bytes = None
+            has_checkpoint = (
+                checkpoint_path in h5_file
+                and checkpoint_dset in h5_file[checkpoint_path]
+            )
 
         sampler_config = None
         saved_sampler_type = None
@@ -758,16 +755,19 @@ class Aspire:
                 sampler_config = dict(standalone_sampler_config)
                 sampler_config.pop("sampler_type", None)
 
+        # Full state load reassembles the shard-wise particle arrays
+        # (aspire_tpu.io.load_sharded_array); resume then proceeds in
+        # dict mode, so the arrays are never re-pickled.
         n_samples = None
         checkpoint_state = None
-        if checkpoint_bytes is not None:
+        if has_checkpoint:
             try:
-                checkpoint_state = pickle.loads(checkpoint_bytes)
-                saved = (
-                    checkpoint_state.get("samples")
-                    if checkpoint_state
-                    else None
+                from .samplers.base import Sampler
+
+                checkpoint_state = Sampler.load_checkpoint_from_file(
+                    file_path, path=checkpoint_path
                 )
+                saved = checkpoint_state.get("samples")
                 if saved is not None:
                     n_samples = len(saved)
             except Exception:
@@ -775,8 +775,16 @@ class Aspire:
                     "Failed to decode checkpoint; proceeding without "
                     "resume state."
                 )
+        else:
+            logger.warning(
+                "Checkpoint not found at %s/%s in %s; will resume "
+                "without a checkpoint.",
+                checkpoint_path,
+                checkpoint_dset,
+                file_path,
+            )
         return (
-            checkpoint_bytes,
+            checkpoint_state,
             checkpoint_state,
             sampler_config,
             saved_sampler_type,
@@ -786,7 +794,7 @@ class Aspire:
     def _set_resume_defaults(
         self,
         *,
-        checkpoint_bytes,
+        checkpoint_payload,
         checkpoint_state,
         sampler_config,
         saved_sampler_type,
@@ -794,11 +802,11 @@ class Aspire:
         sampler: str | None = None,
         resume_kwargs: dict | None = None,
     ) -> None:
-        if checkpoint_bytes is None:
+        if checkpoint_payload is None:
             return
         sampler_config = sampler_config or {}
         sampler_config.pop("sampler_class", None)
-        self._resume_from_default = checkpoint_bytes
+        self._resume_from_default = checkpoint_payload
         self._resume_sampler_type = (
             sampler
             or saved_sampler_type
@@ -881,7 +889,7 @@ class Aspire:
             config_dict = load_dict_from_hdf5(h5_file, config_path)
 
         (
-            checkpoint_bytes,
+            checkpoint_payload,
             checkpoint_state,
             sampler_config,
             saved_sampler_type,
@@ -921,7 +929,7 @@ class Aspire:
 
         return (
             aspire,
-            checkpoint_bytes,
+            checkpoint_payload,
             checkpoint_state,
             sampler_config,
             saved_sampler_type,

@@ -86,6 +86,9 @@ class SMCHistory(History):
     eff_target: list = field(default_factory=list)
     mcmc_autocorr: list = field(default_factory=list)
     mcmc_acceptance: list = field(default_factory=list)
+    #: effective independent-lineage fraction used to inflate the
+    #: per-step evidence variance (1.0 = fully independent particles)
+    lineage_fraction: list = field(default_factory=list)
     sample_history: list = field(default_factory=list)
 
     # -- persistence -------------------------------------------------------

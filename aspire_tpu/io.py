@@ -2,11 +2,19 @@
 
 Single-file HDF5 layout with the same top-level semantics as the reference
 (``docs/checkpointing.rst:18-27``: ``/aspire_config``, ``/sampler_config``,
-``/flow``, ``/checkpoint/state``), but with a sharding-aware array format:
-pytrees are stored leaf-by-leaf as native HDF5 datasets (never opaque
-pickle blobs for array data), with the treedef stored as a JSON attribute,
-so checkpoints can be written/read per-host shard-wise on a multi-host
-mesh. Reference equivalents: ``AspireFile`` (utils.py:910-928),
+``/flow``, ``/checkpoint/state``), with two array formats:
+
+- pytrees (flow params, optimizer state) stored leaf-by-leaf as native
+  HDF5 datasets with the treedef as a JSON attribute — small, replicated
+  state written by one writer (:func:`save_pytree_to_hdf5`);
+- particle arrays stored SHARD-WISE (:func:`save_sharded_array` /
+  :func:`load_sharded_array`): each process writes only its locally
+  addressable shards as hyperslab datasets tagged with global offsets,
+  and loading reassembles through ``jax.make_array_from_callback`` so
+  each device reads only its own region — no global gather on either
+  side, and resharding across different meshes on resume.
+
+Reference equivalents: ``AspireFile`` (utils.py:910-928),
 ``recursively_save_to_h5_file``/``load_from_h5_file`` (utils.py:841-887),
 ``encode_for_hdf5``/``decode_from_hdf5`` (utils.py:652-730),
 ``dump_state``/pickle-bytes datasets (utils.py:733-770).
@@ -212,6 +220,150 @@ def load_pytree_from_hdf5(h5_file, path: str, like: Any) -> Any:
         else:
             leaves.append(pickle.loads(bytes(group[f"leaf_{i}"][()])))
     return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+# ---------------------------------------------------------------------------
+# Shard-wise array checkpointing
+# ---------------------------------------------------------------------------
+#
+# Multi-host contract (reference layout semantics: docs/checkpointing.rst
+# :18-27, lifted to SPMD): every process writes ONLY its locally
+# addressable shards — no device_get of the global array, no cross-host
+# gather — as hyperslab datasets tagged with their global offsets.
+# Process 0 additionally owns the host-state blob. Loading goes through
+# ``jax.make_array_from_callback`` so each device reads exactly the
+# hyperslabs it needs, which also reshards transparently when the
+# resuming mesh differs from the writing mesh.
+
+
+def save_sharded_array(h5_file, path: str, arr) -> None:
+    """Write the locally addressable shards of ``arr`` under ``path``.
+
+    Works for plain numpy / single-device arrays too (stored as one
+    shard spanning the full global shape). Replicated copies of the
+    same global region (e.g. a fully replicated array on an 8-device
+    mesh) are deduplicated: one dataset per distinct region.
+    """
+    if path in h5_file:
+        del h5_file[path]
+    group = h5_file.require_group(path)
+
+    if isinstance(arr, jax.Array):
+        global_shape = arr.shape
+        dtype = np.dtype(arr.dtype)
+        pieces = [
+            (shard.index, shard.data) for shard in arr.addressable_shards
+        ]
+    else:
+        arr = np.asarray(arr)
+        global_shape = arr.shape
+        dtype = arr.dtype
+        pieces = [(tuple(slice(0, s) for s in arr.shape), arr)]
+
+    group.attrs["global_shape"] = np.asarray(global_shape, dtype=np.int64)
+    group.attrs["dtype"] = str(dtype)
+
+    written = set()
+    for index, block in pieces:
+        starts = tuple(
+            0 if sl.start is None else int(sl.start) for sl in index
+        )
+        if starts in written:
+            continue  # replicated copy of a region already on disk
+        written.add(starts)
+        name = "shard_p{}_{}".format(
+            jax.process_index(), "_".join(map(str, starts))
+        )
+        ds = group.create_dataset(name, data=np.asarray(block))
+        ds.attrs["start"] = np.asarray(starts, dtype=np.int64)
+
+
+def load_sharded_array(h5_files, path: str, sharding=None):
+    """Reassemble an array saved with :func:`save_sharded_array`.
+
+    ``h5_files``: one open file or a sequence (one per writing
+    process). With ``sharding=None`` the full array is assembled into
+    host numpy. With a ``jax.sharding.Sharding``, the array is built
+    via ``jax.make_array_from_callback`` and each device reads only
+    the hyperslabs overlapping its own shard — the writing and reading
+    meshes need not match.
+    """
+    if not isinstance(h5_files, (list, tuple)):
+        h5_files = [h5_files]
+    groups = [f[path] for f in h5_files if path in f]
+    if not groups:
+        raise KeyError(f"No shard group {path!r} in the given files")
+    shape = tuple(int(s) for s in groups[0].attrs["global_shape"])
+    dtype = np.dtype(groups[0].attrs["dtype"])
+    blocks = [
+        (tuple(int(s) for s in ds.attrs["start"]), ds)
+        for g in groups
+        for ds in g.values()
+    ]
+
+    def read_region(region: tuple[slice, ...]) -> np.ndarray:
+        bounds = [sl.indices(dim) for sl, dim in zip(region, shape)]
+        out_shape = tuple(stop - start for start, stop, _ in bounds)
+        out = np.empty(out_shape, dtype)
+        covered = 0
+        for starts, ds in blocks:
+            lo = [max(b[0], s) for b, s in zip(bounds, starts)]
+            hi = [
+                min(b[1], s + e)
+                for b, s, e in zip(bounds, starts, ds.shape)
+            ]
+            if any(a >= b for a, b in zip(lo, hi)):
+                continue
+            src = tuple(
+                slice(a - s, b - s) for a, b, s in zip(lo, hi, starts)
+            )
+            dst = tuple(
+                slice(a - b0[0], b - b0[0])
+                for a, b, b0 in zip(lo, hi, bounds)
+            )
+            out[dst] = ds[src]  # hyperslab read: only this region's bytes
+            covered += int(np.prod([b - a for a, b in zip(lo, hi)]))
+        expected = int(np.prod(out_shape)) if out_shape else 1
+        if covered < expected:
+            raise ValueError(
+                f"Shard files cover only {covered}/{expected} elements "
+                f"of region {region} in {path!r} (missing per-process "
+                "shard files?)"
+            )
+        return out
+
+    if sharding is None:
+        return read_region(tuple(slice(0, s) for s in shape))
+    return jax.make_array_from_callback(shape, sharding, read_region)
+
+
+def checkpoint_barrier(tag: str = "aspire_tpu_checkpoint") -> None:
+    """Block until every process finished writing its shard file.
+
+    No-op in a single-process run; on a multi-host mesh this is the
+    write barrier that makes the per-process shard files a consistent
+    checkpoint.
+    """
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(tag)
+
+
+def checkpoint_shard_files(file_path: str) -> list[str]:
+    """All files of a sharded checkpoint: the main file + per-process
+    sibling files written by non-zero processes."""
+    import glob as _glob
+
+    return [str(file_path)] + sorted(
+        _glob.glob(str(file_path) + ".proc*")
+    )
+
+
+def process_checkpoint_path(file_path: str) -> str:
+    """Where THIS process writes its checkpoint shards."""
+    idx = jax.process_index()
+    return str(file_path) if idx == 0 else f"{file_path}.proc{idx}"
 
 
 def save_state_bytes(h5_file, payload: bytes, path: str = "checkpoint") -> None:

@@ -106,6 +106,82 @@ _SCHEMES = {
 }
 
 
+# ---------------------------------------------------------------------------
+# Hand-rolled sharded resampling (SURVEY.md §5, BASELINE.md)
+# ---------------------------------------------------------------------------
+#
+# The default path lets GSPMD lower the global gather `x[idx]` however it
+# likes. This is the explicit alternative, written with shard_map so the
+# collective schedule is pinned:
+#
+#   1. all_gather the LOG-WEIGHTS only — O(n) scalars, tiny next to the
+#      (n, d) particle array;
+#   2. every shard computes the identical global systematic index vector
+#      (same key => same single uniform => bit-identical to the GSPMD
+#      path) and slices out its own output rows;
+#   3. the particle blocks stream around a ppermute RING: in S steps
+#      each shard sees every block once and copies out the rows it
+#      needs. Peak memory stays O(chunk * d) per device — the global
+#      particle array is never materialized anywhere — and total bytes
+#      moved (n * d per device around the ring) meet the all-to-all
+#      redistribution lower bound.
+
+
+def ring_resample_matrix(key, log_w, data, mesh, axis_name: str = "data",
+                         method: str = "systematic"):
+    """Resample a row-sharded ``(n, cols)`` matrix on a 1-D mesh.
+
+    ``log_w`` must carry the same ``P(axis_name)`` sharding as ``data``.
+    Returns the resampled matrix with the input sharding, bit-identical
+    to ``data[get_resampler(method)(key, log_w, n)]``.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    n_shards = mesh.devices.size
+    resampler = get_resampler(method)
+    ring = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+
+    def local_fn(key, lw_local, block):
+        chunk = block.shape[0]
+        lw_global = jax.lax.all_gather(
+            lw_local, axis_name, tiled=True
+        )
+        idx = resampler(key, lw_global, lw_global.shape[0])
+        me = jax.lax.axis_index(axis_name)
+        idx_mine = jax.lax.dynamic_slice_in_dim(
+            idx, me * chunk, chunk
+        )
+
+        def ring_step(r, carry):
+            held, out = carry
+            src = (me - r) % n_shards  # whose block we hold this step
+            rows = idx_mine - src * chunk
+            want = (rows >= 0) & (rows < chunk)
+            picked = held[jnp.clip(rows, 0, chunk - 1)]
+            out = jnp.where(want[:, None], picked, out)
+            held = jax.lax.ppermute(held, axis_name, perm=ring)
+            return held, out
+
+        _, out = jax.lax.fori_loop(
+            0, n_shards, ring_step, (block, jnp.zeros_like(block))
+        )
+        return out
+
+    sharded = NamedSharding(mesh, P(axis_name))
+    return jax.jit(
+        shard_map(
+            local_fn,
+            mesh=mesh,
+            in_specs=(P(), P(axis_name), P(axis_name)),
+            out_specs=P(axis_name),
+            check_rep=False,
+        ),
+        in_shardings=(NamedSharding(mesh, P()), sharded, sharded),
+        out_shardings=sharded,
+    )(key, log_w, data)
+
+
 def get_resampler(name: str):
     try:
         return _SCHEMES[name]

@@ -337,13 +337,24 @@ class Sampler:
 
     # -- checkpoint protocol (reference samplers/base.py:158-287) ----------
 
+    #: Array fields of the samples object that are checkpointed
+    #: shard-wise (everything else rides in the host-state blob).
+    _CHECKPOINT_ARRAY_FIELDS = ("x", "log_likelihood", "log_prior", "log_q")
+
     def build_checkpoint_state(
         self, samples, iteration: int, meta: dict | None = None
     ) -> dict:
+        """Checkpoint state with the samples kept LIVE (possibly sharded
+        on device): no global gather happens here. The gather — or the
+        per-shard write — happens only at serialization time, per mode:
+        in-memory resume uses the live arrays directly,
+        ``serialize_checkpoint_state`` (bytes) fetches to host numpy,
+        and ``save_checkpoint_to_hdf`` writes per-process shards.
+        """
         state = {
             "sampler_class": type(self).__name__,
             "iteration": iteration,
-            "samples": samples.to_numpy(),
+            "samples": samples,
             "config": self.config_dict(),
             "parameters": self.parameters,
             "meta": meta or {},
@@ -358,17 +369,52 @@ class Sampler:
 
     @staticmethod
     def serialize_checkpoint_state(state: dict) -> bytes:
+        state = dict(state)
+        samples = state.get("samples")
+        if samples is not None and hasattr(samples, "to_numpy"):
+            state["samples"] = samples.to_numpy()
         return pickle.dumps(state)
 
     def save_checkpoint_to_hdf(
         self, state: dict, file_path: str, path: str = "checkpoint"
     ) -> None:
-        from ..io import AspireFile, save_state_bytes
+        """Write a sharded checkpoint.
 
-        with AspireFile(file_path, "a") as f:
-            save_state_bytes(
-                f, self.serialize_checkpoint_state(state), path=path
-            )
+        Layout: ``{path}/state`` holds the pickled host state (history,
+        config, RNG key, sample metadata) — written by process 0 — and
+        ``{path}/arrays/<field>`` holds the particle arrays shard-wise;
+        every process writes only its addressable shards to its own
+        file (:func:`aspire_tpu.io.process_checkpoint_path`), followed
+        by a cross-process write barrier.
+        """
+        from ..io import (
+            AspireFile,
+            checkpoint_barrier,
+            process_checkpoint_path,
+            save_sharded_array,
+            save_state_bytes,
+        )
+
+        state = dict(state)
+        samples = state.pop("samples", None)
+        target = process_checkpoint_path(file_path)
+        with AspireFile(target, "a") as f:
+            if samples is not None:
+                for name in self._CHECKPOINT_ARRAY_FIELDS:
+                    value = getattr(samples, name, None)
+                    if value is not None:
+                        save_sharded_array(
+                            f, f"{path}/arrays/{name}", value
+                        )
+            if jax.process_index() == 0:
+                if samples is not None:
+                    state["samples_spec"] = {
+                        "class": type(samples).__name__,
+                        "parameters": samples.parameters,
+                        "beta": getattr(samples, "beta", None),
+                    }
+                save_state_bytes(f, pickle.dumps(state), path=path)
+        checkpoint_barrier()
 
     def default_file_checkpoint_callback(
         self, file_path: str | None
@@ -386,21 +432,75 @@ class Sampler:
 
     @classmethod
     def load_checkpoint_from_file(
-        cls, file_path: str, path: str = "checkpoint"
+        cls, file_path: str, path: str = "checkpoint", sharding=None
     ) -> dict:
+        """Load a checkpoint, reassembling the shard-wise arrays.
+
+        With ``sharding`` given, particle arrays come back as sharded
+        ``jax.Array``s built shard-by-shard (each device reads its own
+        hyperslabs); otherwise as host numpy. Pre-shard-format
+        checkpoints (samples inside the pickled blob) load unchanged.
+        """
         import h5py
 
-        from ..io import load_state_bytes
+        from ..io import (
+            checkpoint_shard_files,
+            load_sharded_array,
+            load_state_bytes,
+        )
 
         with h5py.File(file_path, "r") as f:
-            payload = load_state_bytes(f, path=path)
-        return pickle.loads(payload)
+            state = pickle.loads(load_state_bytes(f, path=path))
+        spec = state.pop("samples_spec", None)
+        if spec is None:
+            return state  # legacy layout: samples were in the blob
+
+        from .. import samples as samples_module
+
+        files = [
+            h5py.File(p, "r") for p in checkpoint_shard_files(file_path)
+        ]
+        try:
+            arrays = {}
+            for name in cls._CHECKPOINT_ARRAY_FIELDS:
+                array_path = f"{path}/arrays/{name}"
+                if any(array_path in f for f in files):
+                    arrays[name] = load_sharded_array(
+                        files, array_path, sharding=sharding
+                    )
+        finally:
+            for f in files:
+                f.close()
+        klass = getattr(samples_module, spec["class"])
+        kwargs = dict(arrays)
+        kwargs["parameters"] = spec.get("parameters")
+        if spec.get("beta") is not None and hasattr(klass, "beta"):
+            kwargs["beta"] = spec["beta"]
+        samples = klass(**kwargs)
+        # Re-assign the raw arrays after construction: __post_init__
+        # normalizes dtypes, but a checkpoint restore must hand back
+        # exactly the bytes that were saved (live samples may carry
+        # mixed precisions, e.g. f32 positions with f64 densities).
+        for name, value in arrays.items():
+            setattr(samples, name, value)
+        state["samples"] = samples
+        return state
+
+    def _particle_sharding(self):
+        """Target sharding for restored particle arrays (None off-mesh)."""
+        if self.mesh is None:
+            return None
+        from ..parallel.mesh import particle_sharding
+
+        return particle_sharding(self.mesh)
 
     def restore_from_checkpoint(
         self, source: str | bytes | dict
     ) -> tuple[Samples, dict]:
         if isinstance(source, str):
-            state = self.load_checkpoint_from_file(source)
+            state = self.load_checkpoint_from_file(
+                source, sharding=self._particle_sharding()
+            )
         elif isinstance(source, bytes):
             state = pickle.loads(source)
         elif isinstance(source, dict):

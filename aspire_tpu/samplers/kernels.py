@@ -704,6 +704,22 @@ def stretch_step(
 # ---------------------------------------------------------------------------
 
 
+class ChainStats(NamedTuple):
+    """Online mixing diagnostics for one mutation sweep.
+
+    ``tau``: scalar lag-1 (AR(1)) integrated autocorrelation time.
+    ``mixing``: worst-dimension ratio of mean within-chain variance to
+    pooled population variance, in [0, 1] — the R-hat-style
+    between/within statistic. A kernel that mixes well INSIDE a mode
+    but never crosses modes has small ``mixing`` even when ``tau`` is
+    small, which is exactly the failure mode lag-1 autocorrelation
+    cannot see (each walker's variance is within-mode only).
+    """
+
+    tau: jax.Array
+    mixing: jax.Array
+
+
 def run_chain(
     step_fn: Callable[[ChainState], ChainState],
     state: ChainState,
@@ -715,10 +731,9 @@ def run_chain(
 
     Returns ``(final_state, chain)`` where ``chain`` is the stacked
     positions ``(n_steps, n, d)`` if ``store_chain`` else None. With
-    ``track_autocorr=True`` a third value is returned: a scalar
-    integrated-autocorrelation-time estimate for the chain (see
-    :func:`lag1_autocorr_time`), computed online from O(n d) running
-    sums so the chain itself never needs to be materialized.
+    ``track_autocorr=True`` a third value is returned: a
+    :class:`ChainStats` computed online from O(n d) running sums so
+    the chain itself never needs to be materialized.
     """
     if not track_autocorr:
 
@@ -749,8 +764,33 @@ def run_chain(
     (final, _, s1, s2, c1), chain = jax.lax.scan(
         body, init, None, length=n_steps
     )
-    tau = lag1_autocorr_time(s1, s2, c1, n_steps)
-    return final, chain, tau
+    stats = ChainStats(
+        tau=lag1_autocorr_time(s1, s2, c1, n_steps),
+        mixing=chain_mixing_ratio(s1, s2, n_steps),
+    )
+    return final, chain, stats
+
+
+def chain_mixing_ratio(s1, s2, n_steps: int):
+    """Worst-dimension within/pooled variance ratio, in [0, 1].
+
+    ``s1``/``s2`` are per-walker sums of x and x^2 over the
+    ``n_steps + 1`` chain points, shaped ``(n_walkers, d)``. For a
+    kernel whose chains traverse the whole target, each walker's
+    variance matches the population's (ratio ~ 1); for one trapped in
+    a subset (a mode), within-chain variance misses the between-mode
+    spread and the ratio drops toward within/(within + between).
+    """
+    m = n_steps + 1
+    mean_w = s1 / m  # (n, d) per-walker means
+    within = jnp.mean(s2 / m - jnp.square(mean_w), axis=0)  # (d,)
+    pooled = jnp.mean(s2, axis=0) / m - jnp.square(
+        jnp.mean(mean_w, axis=0)
+    )
+    ratio = jnp.where(
+        pooled > 1e-12, within / jnp.maximum(pooled, 1e-12), 1.0
+    )
+    return jnp.clip(jnp.min(ratio), 0.0, 1.0)
 
 
 def lag1_autocorr_time(s1, s2, c1, n_steps: int):
@@ -764,14 +804,17 @@ def lag1_autocorr_time(s1, s2, c1, n_steps: int):
     cheap online surrogate for the windowed Sokal estimate used on
     stored chains (:meth:`MCMCSamples.compute_autocorrelation_time`).
     Walkers with zero variance (no accepted move) count as perfectly
-    correlated. Clipped to ``[1, n_steps]`` — an IAT beyond the chain
-    length is not measurable from the chain.
+    correlated. Deliberately NOT clipped to the chain length: a tau far
+    beyond ``n_steps`` cannot be resolved, but reporting the raw AR(1)
+    extrapolation keeps downstream error inflation conservative (a
+    frozen chain saturates at ~2e4 from the rho <= 0.9999 clip rather
+    than masquerading as mixed).
     """
     m = n_steps + 1
     mean = s1 / m
     var = s2 / m - jnp.square(mean)
     cov1 = c1 / n_steps - jnp.square(mean)
     rho = jnp.where(var > 1e-12, cov1 / jnp.maximum(var, 1e-12), 1.0)
-    rho_dim = jnp.clip(jnp.mean(rho, axis=0), -0.999, 0.999)
+    rho_dim = jnp.clip(jnp.mean(rho, axis=0), -0.9999, 0.9999)
     tau_dim = (1 + rho_dim) / (1 - rho_dim)
-    return jnp.mean(jnp.clip(tau_dim, 1.0, float(max(n_steps, 1))))
+    return jnp.mean(jnp.maximum(tau_dim, 1.0))

@@ -279,79 +279,148 @@ class ParallelTemperedSampler(MCMCSampler):
             log_p = jnp.asarray(log_prior(view)).reshape(-1) + log_j
             return log_l, log_p
 
-        def tempered_log_prob_all(z):
-            """z: (T, n, d) -> (T, n) tempered log-density."""
-            flat = z.reshape(-1, self.dims)
-            log_l, log_p = logl_logp(flat)
-            log_l = log_l.reshape(n_temps, n_samples)
-            log_p = log_p.reshape(n_temps, n_samples)
-            lp = betas_arr[:, None] * log_l + log_p
-            return jnp.where(jnp.isnan(lp), -jnp.inf, lp), log_l, log_p
+        def tempered_stretch_sweep(zt, llt, lpt, kt, bt):
+            """``swap_every`` stretch moves at ONE temperature, carrying
+            (logL, logPi) so replica swaps never re-evaluate the target.
 
-        def one_round(carry, _):
-            z, key = carry
-            # Stretch update per temperature (vmapped over temperatures).
-            lp, _, _ = tempered_log_prob_all(z)
-            key, *step_keys = jax.random.split(key, n_temps + 1)
+            vmapped over the temperature axis: all rungs advance in one
+            batched computation instead of a per-temperature unrolled
+            loop (a T=64 ladder compiles the same program as T=8).
+            """
+            n = zt.shape[0]
+            half = n // 2
+            blocks = ((0, half, half, n), (half, n, 0, half))
 
-            def per_temp(zt, lpt, kt, bt):
-                def lp_fn(x):
-                    flat_l, flat_p = logl_logp(x)
-                    out = bt * flat_l + flat_p
-                    return jnp.where(jnp.isnan(out), -jnp.inf, out)
+            def one_move(carry, k_move):
+                z, ll, lp = carry
+                keys = jax.random.split(k_move, 6)
+                for b, (m0, m1, o0, o1) in enumerate(blocks):
+                    n_move, n_other = m1 - m0, o1 - o0
+                    idx = jnp.arange(m0, m1)
+                    pick = jax.random.randint(
+                        keys[3 * b], (n_move,), 0, n_other
+                    )
+                    partners = z[o0 + pick]
+                    u = jax.random.uniform(
+                        keys[3 * b + 1], (n_move,), dtype=z.dtype
+                    )
+                    g = (
+                        u * (jnp.sqrt(a) - jnp.sqrt(1 / a))
+                        + jnp.sqrt(1 / a)
+                    ) ** 2
+                    z_move = z[idx]
+                    z_prop = partners + g[:, None] * (z_move - partners)
+                    ll_prop, lp_prop = logl_logp(z_prop)
+                    t_prop = bt * ll_prop + lp_prop
+                    t_curr = bt * ll[idx] + lp[idx]
+                    # A NaN current density (e.g. beta=0 with logL=-inf)
+                    # must not freeze the walker: treat it as -inf so
+                    # any finite proposal is accepted.
+                    t_curr = jnp.where(jnp.isnan(t_curr), -jnp.inf, t_curr)
+                    log_alpha = (
+                        (self.dims - 1) * jnp.log(g) + t_prop - t_curr
+                    )
+                    log_alpha = jnp.where(
+                        jnp.isnan(log_alpha), -jnp.inf, log_alpha
+                    )
+                    accept = (
+                        jnp.log(
+                            jax.random.uniform(
+                                keys[3 * b + 2], (n_move,)
+                            )
+                        )
+                        < log_alpha
+                    )
+                    z = z.at[idx].set(
+                        jnp.where(accept[:, None], z_prop, z_move)
+                    )
+                    ll = ll.at[idx].set(
+                        jnp.where(accept, ll_prop, ll[idx])
+                    )
+                    lp = lp.at[idx].set(
+                        jnp.where(accept, lp_prop, lp[idx])
+                    )
+                return (z, ll, lp), None
 
-                st = K.ChainState(
-                    x=zt,
-                    log_prob=lpt,
-                    key=kt,
-                    step_size=jnp.asarray(1.0, dtype=zt.dtype),
-                    n_accept=jnp.zeros(zt.shape[0], dtype=zt.dtype),
-                )
-                for _ in range(swap_every):
-                    st = K.stretch_step(st, lp_fn, a=a)
-                return st.x
-
-            z = jnp.stack(
-                [
-                    per_temp(z[t], lp[t], step_keys[t], betas_arr[t])
-                    for t in range(n_temps)
-                ]
+            move_keys = jax.random.split(kt, swap_every)
+            (zt, llt, lpt), _ = jax.lax.scan(
+                one_move, (zt, llt, lpt), move_keys
             )
-            # Replica-exchange swaps between adjacent temperatures.
-            _, log_l, _ = tempered_log_prob_all(z)
-            key, swap_key = jax.random.split(key)
+            return zt, llt, lpt
+
+        # Even/odd (DEO) replica-exchange passes: all disjoint adjacent
+        # pairs swap in one vectorized step, so a sweep is two gathers
+        # regardless of the number of temperatures.
+        swap_starts = {
+            0: np.arange(0, n_temps - 1, 2),
+            1: np.arange(1, n_temps - 1, 2),
+        }
+
+        def swap_pass(z, log_l, log_p, key, parity):
+            lo = swap_starts[parity]
+            if lo.size == 0:
+                return z, log_l, log_p
+            hi = lo + 1
+            d_beta = betas_arr[lo] - betas_arr[hi]
+            log_alpha = -d_beta[:, None] * (log_l[lo] - log_l[hi])
             u = jnp.log(
-                jax.random.uniform(swap_key, (n_temps - 1, n_samples))
+                jax.random.uniform(key, (lo.size, n_samples))
             )
-            for t in range(n_temps - 1):
-                d_beta = betas_arr[t] - betas_arr[t + 1]
-                log_alpha = -d_beta * (log_l[t] - log_l[t + 1])
-                swap = u[t] < log_alpha
-                zt = jnp.where(swap[:, None], z[t + 1], z[t])
-                zt1 = jnp.where(swap[:, None], z[t], z[t + 1])
-                z = z.at[t].set(zt).at[t + 1].set(zt1)
-                log_lt = jnp.where(swap, log_l[t + 1], log_l[t])
-                log_lt1 = jnp.where(swap, log_l[t], log_l[t + 1])
-                log_l = log_l.at[t].set(log_lt).at[t + 1].set(log_lt1)
-            return (z, key), z
+            swap = u < log_alpha
+
+            def exchange(arr, mask):
+                a_lo, a_hi = arr[lo], arr[hi]
+                arr = arr.at[lo].set(jnp.where(mask, a_hi, a_lo))
+                return arr.at[hi].set(jnp.where(mask, a_lo, a_hi))
+
+            z = exchange(z, swap[..., None])
+            log_l = exchange(log_l, swap)
+            log_p = exchange(log_p, swap)
+            return z, log_l, log_p
+
+        def one_round(carry, key_round):
+            z, log_l, log_p = carry
+            step_key, even_key, odd_key = jax.random.split(key_round, 3)
+            step_keys = jax.random.split(step_key, n_temps)
+            z, log_l, log_p = jax.vmap(tempered_stretch_sweep)(
+                z, log_l, log_p, step_keys, betas_arr
+            )
+            z, log_l, log_p = swap_pass(z, log_l, log_p, even_key, 0)
+            z, log_l, log_p = swap_pass(z, log_l, log_p, odd_key, 1)
+            return (z, log_l, log_p), z
+
+        def initial_densities(z):
+            ll, lp = logl_logp(z.reshape(-1, self.dims))
+            return (
+                ll.reshape(n_temps, n_samples),
+                lp.reshape(n_temps, n_samples),
+            )
 
         n_rounds = n_steps // swap_every
+        round_keys = jax.random.split(self.next_key(), n_rounds)
         if self.target_is_jittable():
-            scan = jax.jit(
-                lambda z, key: jax.lax.scan(
-                    one_round, (z, key), None, length=n_rounds
+
+            @jax.jit
+            def run_all(z, keys):
+                ll, lp = initial_densities(z)
+                (_, _, _), chain = jax.lax.scan(
+                    one_round, (z, ll, lp), keys
                 )
-            )
-            (_, _), chain = scan(z0, self.next_key())
+                return chain
+
+            chain = run_all(z0, round_keys)
         else:
-            carry = (z0, self.next_key())
+            ll, lp = initial_densities(z0)
+            carry = (z0, ll, lp)
             outs = []
-            for _ in range(n_rounds):
-                carry, z_out = one_round(carry, None)
+            for k in round_keys:
+                carry, z_out = one_round(carry, k)
                 outs.append(z_out)
             chain = jnp.stack(outs)
+        # One tempered-density pass per stretch move plus the single
+        # initialization pass — swaps reuse carried logL.
         self.n_likelihood_evaluations += (
-            n_rounds * (swap_every + 1) * n_temps * n_samples
+            (n_rounds * swap_every + 1) * n_temps * n_samples
         )
 
         # chain: (n_rounds, T, n, d) -> (T, n_rounds, n, d)

@@ -189,9 +189,19 @@ class SMCSampler(Sampler):
 
     default_sampler_kwargs: dict = {}
 
-    def __init__(self, *args, resampling_method: str = "systematic", **kwargs):
+    def __init__(
+        self,
+        *args,
+        resampling_method: str = "systematic",
+        resampling_impl: str = "auto",
+        **kwargs,
+    ):
         super().__init__(*args, **kwargs)
         self.resampling_method = resampling_method
+        #: "auto" = GSPMD lowers the resampling gather; "ring" = the
+        #: hand-rolled shard_map collective (weight all-gather +
+        #: ppermute ring, ops/resampling.py) on mesh-sharded runs.
+        self.resampling_impl = resampling_impl
         self.history = SMCHistory()
         self.sampler_kwargs: dict = {}
         self._adaptive_target_efficiency = False
@@ -377,6 +387,7 @@ class SMCSampler(Sampler):
                     log_l,
                     acc_arr,
                     tau_arr,
+                    mix_arr,
                     any_nan_q,
                     any_nan_target,
                     step_carry,
@@ -393,11 +404,15 @@ class SMCSampler(Sampler):
             self._step_size_carry = step_carry
             self.n_likelihood_evaluations += (n_steps + 1) * z.shape[0]
             with self.profiler.phase("mutate/sync"):
-                acceptance, tau, nan_q, nan_target = jax.device_get(
-                    (acc_arr, tau_arr, any_nan_q, any_nan_target)
+                acceptance, tau, mixing, nan_q, nan_target = (
+                    jax.device_get(
+                        (acc_arr, tau_arr, mix_arr, any_nan_q,
+                         any_nan_target)
+                    )
                 )
             self.history.mcmc_acceptance.append(float(acceptance))
             self.history.mcmc_autocorr.append(float(tau))
+            self._last_chain_stats = (float(tau), float(mixing))
             new = SMCSamples(
                 x=x,
                 beta=beta,
@@ -419,7 +434,7 @@ class SMCSampler(Sampler):
         with self.profiler.phase("mutate/fit_reference"):
             ref = K.fit_gaussian_reference(z)
         with self.profiler.phase("mutate/chain"):
-            final_state, tau = self._mutate_host(
+            final_state, chain_stats = self._mutate_host(
                 flow_state,
                 precond,
                 z,
@@ -437,7 +452,10 @@ class SMCSampler(Sampler):
                 jnp.mean(final_state.n_accept / max(n_steps, 1))
             )
         self.history.mcmc_acceptance.append(acceptance)
-        self.history.mcmc_autocorr.append(float(tau))
+        self.history.mcmc_autocorr.append(float(chain_stats.tau))
+        self._last_chain_stats = (
+            float(chain_stats.tau), float(chain_stats.mixing)
+        )
 
         x, _ = self.invert_preconditioning(final_state.x)
         new = SMCSamples(
@@ -499,7 +517,7 @@ class SMCSampler(Sampler):
                     n_accept=jnp.zeros(z.shape[0], dtype=z.dtype),
                     grad=grad,
                 )
-                final, _, tau = K.run_chain(
+                final, _, stats = K.run_chain(
                     step_fn, state, n_steps, track_autocorr=True
                 )
                 # Post-chain density refresh fused into the same program
@@ -523,7 +541,8 @@ class SMCSampler(Sampler):
                     log_pi,
                     log_l,
                     acceptance,
-                    tau,
+                    stats.tau,
+                    stats.mixing,
                     any_nan_q,
                     any_nan_target,
                     final.step_size,
@@ -575,12 +594,6 @@ class SMCSampler(Sampler):
                 "device_ladder requires a jit-traceable "
                 "log_likelihood/log_prior"
             )
-        if checkpoint_callback is not None:
-            logger.warning(
-                "device_ladder runs the whole ladder in one dispatch; "
-                "per-iteration checkpoints are skipped (a final "
-                "checkpoint is still written)."
-            )
         n_steps = int(
             self.sampler_kwargs.get("n_steps") or 5 * self.dims
         )
@@ -589,13 +602,28 @@ class SMCSampler(Sampler):
         else:
             eff_lo = eff_hi = float(self._target_efficiency)
 
-        ladder = self._build_device_ladder(n_steps, max_iters)
+        # Per-iteration checkpointing from INSIDE the compiled
+        # while_loop: an io_callback posts the mutated population +
+        # history buffers to the host each temperature step. The sink
+        # is read at call time so the compiled ladder stays cached
+        # across runs with and without checkpointing enabled.
+        self._ladder_checkpoint_sink = checkpoint_callback
+        self._ladder_history_base = copy.deepcopy(self.history)
+        self._ladder_base_iteration = len(self.history.beta)
+        self._ladder_base_evals = self.n_likelihood_evaluations
+        self._ladder_n_steps = n_steps
+
+        ladder = self._build_device_ladder(
+            n_steps, max_iters, with_checkpoint=checkpoint_callback
+            is not None,
+        )
         out = ladder(
             self.flow_state(),
             samples.x,
             samples.log_likelihood,
             samples.log_prior,
             samples.log_q,
+            jnp.asarray(samples.beta or 0.0, dtype=samples.x.dtype),
             self.next_key(),
             jnp.asarray(min_beta_step, dtype=samples.x.dtype),
             jnp.asarray(max_beta_step, dtype=samples.x.dtype),
@@ -619,6 +647,8 @@ class SMCSampler(Sampler):
                 out["var_h"],
                 out["acc_h"],
                 out["tau_h"],
+                out["lin_h"],
+                out["f_lin"],
             )
         )
         (
@@ -632,7 +662,10 @@ class SMCSampler(Sampler):
             var_h,
             acc_h,
             tau_h,
+            lin_h,
+            f_lin,
         ) = scalars
+        self._lineage_fraction = float(f_lin)
         it = int(it)
         if bool(stalled):
             raise BetaScheduleError(
@@ -653,6 +686,7 @@ class SMCSampler(Sampler):
             self.history.log_norm_ratio_var.append(float(var_h[i]))
             self.history.mcmc_acceptance.append(float(acc_h[i]))
             self.history.mcmc_autocorr.append(float(tau_h[i]))
+            self.history.lineage_fraction.append(float(lin_h[i]))
             logger.info(
                 "it %d - beta: %.6g  ESS: %.1f (%.2f eff)  "
                 "logZ ratio: %.3f",
@@ -674,11 +708,68 @@ class SMCSampler(Sampler):
         new.log_q = out["lq"]
         new.log_prior = out["lpi"]
         new.log_likelihood = out["ll"]
+        self._ladder_checkpoint_sink = None
         return new, it
 
-    def _build_device_ladder(self, n_steps: int, max_iters: int):
+    def _ladder_checkpoint_host(
+        self, x, ll, lpi, lq, beta, it, key_data, f_lin,
+        beta_h, ess_h, ess1_h, ratio_h, var_h, acc_h, tau_h, lin_h,
+    ) -> None:
+        """Host side of the device ladder's per-iteration checkpoint.
+
+        Runs via ``io_callback`` from inside the compiled while_loop.
+        Reconstructs the history recorded so far (pre-ladder prefix +
+        the ladder's buffers) and hands a full checkpoint state to the
+        sink registered for the current run.
+        """
+        sink = getattr(self, "_ladder_checkpoint_sink", None)
+        if sink is None:
+            return
+        it = int(it)
+        history = copy.deepcopy(self._ladder_history_base)
+        for i in range(it):
+            history.beta.append(float(beta_h[i]))
+            history.eff_target.append(
+                float(self.current_target_efficiency(float(beta_h[i])))
+            )
+            history.ess.append(float(ess_h[i]))
+            history.ess_target.append(float(ess1_h[i]))
+            history.log_norm_ratio.append(float(ratio_h[i]))
+            history.log_norm_ratio_var.append(float(var_h[i]))
+            history.mcmc_acceptance.append(float(acc_h[i]))
+            history.mcmc_autocorr.append(float(tau_h[i]))
+            history.lineage_fraction.append(float(lin_h[i]))
+        samples = SMCSamples(
+            x=np.asarray(x),
+            beta=float(beta),
+            dtype=self.dtype,
+            parameters=self.parameters,
+        )
+        samples.log_likelihood = np.asarray(ll)
+        samples.log_prior = np.asarray(lpi)
+        samples.log_q = np.asarray(lq)
+        n = x.shape[0]
+        state = {
+            "sampler_class": type(self).__name__,
+            "iteration": self._ladder_base_iteration + it,
+            "samples": samples,
+            "config": self.config_dict(),
+            "parameters": self.parameters,
+            "meta": {"beta": float(beta)},
+            "key": np.asarray(key_data),
+            "n_likelihood_evaluations": self._ladder_base_evals
+            + it * (self._ladder_n_steps + 1) * n,
+            "history": history,
+            "sampler_kwargs": self.sampler_kwargs,
+            "lineage_fraction": float(f_lin),
+        }
+        sink(state)
+
+    def _build_device_ladder(
+        self, n_steps: int, max_iters: int, with_checkpoint: bool = False
+    ):
         """Build (and cache) the compiled whole-ladder program."""
-        cache_key = ("ladder", n_steps, max_iters,
+        cache_key = ("ladder", n_steps, max_iters, with_checkpoint,
                      tuple(sorted(self.sampler_kwargs.items())))
         if cache_key in self._mutate_cache:
             return self._mutate_cache[cache_key]
@@ -691,6 +782,14 @@ class SMCSampler(Sampler):
         make_view = self._make_view
         resampler = get_resampler(self.resampling_method)
         adaptive_min_step = self.adaptive_min_beta_step
+        if self.mesh is not None:
+            from ..parallel.mesh import particle_sharding
+
+            constraint = particle_sharding(self.mesh)
+        else:
+            constraint = None
+
+        checkpoint_host_cb = self._ladder_checkpoint_host
 
         @jax.jit
         def ladder(
@@ -699,6 +798,7 @@ class SMCSampler(Sampler):
             ll,
             lpi,
             lq,
+            beta0,
             key,
             min_beta_step,
             max_beta_step,
@@ -715,7 +815,7 @@ class SMCSampler(Sampler):
                 "ll": ll,
                 "lpi": lpi,
                 "lq": lq,
-                "beta": jnp.asarray(0.0, dtype),
+                "beta": beta0.astype(dtype),
                 "step": jnp.asarray(-1.0, dtype),  # <0: use kernel default
                 "key": key,
                 "min_step": min_beta_step,
@@ -729,6 +829,10 @@ class SMCSampler(Sampler):
                 "var_h": zeros_h,
                 "acc_h": zeros_h,
                 "tau_h": zeros_h,
+                "lin_h": zeros_h,
+                # effective independent-lineage fraction (see the host
+                # ladder's _update_lineage_* for the recursion)
+                "f_lin": jnp.asarray(1.0, dtype),
             }
 
             def cond(s):
@@ -771,6 +875,13 @@ class SMCSampler(Sampler):
                 log_w = jnp.where(jnp.isnan(log_w), -jnp.inf, log_w)
                 idx = resampler(rs_key, log_w, n)
                 x_r = s["x"][idx]
+                if constraint is not None:
+                    # Keep the ladder's particle arrays sharded through
+                    # the all-to-all resampling gather (GSPMD would
+                    # otherwise replicate everything downstream).
+                    x_r = jax.lax.with_sharding_constraint(
+                        x_r, constraint
+                    )
 
                 lp_fn = lambda zz: tempered(  # noqa: E731
                     flow_state, None, zz, beta
@@ -794,9 +905,10 @@ class SMCSampler(Sampler):
                     n_accept=jnp.zeros(n, dtype=dtype),
                     grad=grad0,
                 )
-                final, _, tau = K.run_chain(
+                final, _, cstats = K.run_chain(
                     step_fn, chain0, n_steps, track_autocorr=True
                 )
+                tau = cstats.tau
                 x_m = final.x
                 lq_m = flow_log_prob(flow_state, x_m).astype(dtype)
                 view = make_view(x_m)
@@ -810,8 +922,15 @@ class SMCSampler(Sampler):
                 )
                 acc = jnp.mean(final.n_accept / max(n_steps, 1))
 
+                # Lineage-degeneracy recursion (matches the host ladder).
+                f_lin = s["f_lin"] * jnp.maximum(ess, 1.0) / n
+                rho = jnp.maximum((tau - 1.0) / (tau + 1.0), 0.0)
+                f_lin = f_lin + (1.0 - f_lin) * (
+                    1.0 - rho ** (2 * n_steps)
+                ) * cstats.mixing
+
                 i = s["it"]
-                return {
+                new_state = {
                     "x": x_m,
                     "ll": ll_m,
                     "lpi": lpi_m,
@@ -827,10 +946,38 @@ class SMCSampler(Sampler):
                     "ess_h": s["ess_h"].at[i].set(ess),
                     "ess1_h": s["ess1_h"].at[i].set(ess1),
                     "ratio_h": s["ratio_h"].at[i].set(ratio),
-                    "var_h": s["var_h"].at[i].set(var),
+                    "var_h": s["var_h"].at[i].set(var / s["f_lin"]),
                     "acc_h": s["acc_h"].at[i].set(acc),
                     "tau_h": s["tau_h"].at[i].set(tau.astype(dtype)),
+                    "lin_h": s["lin_h"].at[i].set(s["f_lin"]),
+                    "f_lin": f_lin.astype(dtype),
                 }
+                if with_checkpoint:
+                    # Post the mutated population + history buffers to
+                    # the host each temperature step; the compiled
+                    # program never leaves the device otherwise.
+                    jax.experimental.io_callback(
+                        checkpoint_host_cb,
+                        None,
+                        new_state["x"],
+                        new_state["ll"],
+                        new_state["lpi"],
+                        new_state["lq"],
+                        beta,
+                        new_state["it"],
+                        jax.random.key_data(key),
+                        new_state["f_lin"],
+                        new_state["beta_h"],
+                        new_state["ess_h"],
+                        new_state["ess1_h"],
+                        new_state["ratio_h"],
+                        new_state["var_h"],
+                        new_state["acc_h"],
+                        new_state["tau_h"],
+                        new_state["lin_h"],
+                        ordered=True,
+                    )
+                return new_state
 
             return jax.lax.while_loop(cond, body, state)
 
@@ -869,8 +1016,11 @@ class SMCSampler(Sampler):
             s2 = s2 + jnp.square(state.x)
             c1 = c1 + state.x * prev_x
             prev_x = state.x
-        tau = K.lag1_autocorr_time(s1, s2, c1, n_steps)
-        return state, tau
+        stats = K.ChainStats(
+            tau=K.lag1_autocorr_time(s1, s2, c1, n_steps),
+            mixing=K.chain_mixing_ratio(s1, s2, n_steps),
+        )
+        return state, stats
 
     # -- main loop (reference smc/base.py:215-488) --------------------------
 
@@ -893,21 +1043,26 @@ class SMCSampler(Sampler):
         resume_from: str | bytes | dict | None = None,
         store_sample_history: bool | None = None,
         beta_tolerance: float = DEFAULT_BETA_TOLERANCE,
-        device_ladder: bool = False,
+        device_ladder: bool | None = None,
     ) -> Samples:
         """Run adaptive-tempered SMC; returns weighted posterior Samples.
 
         ``device_ladder=True`` compiles the ENTIRE temperature ladder
         (bisection, resampling, mutation, evidence accumulation, history
         capture) into one ``lax.while_loop`` program — a single device
-        dispatch for the whole run. Requires a jittable target, adaptive
-        scheduling, and no preconditioning transform or per-iteration
-        checkpointing (use the default host ladder for those).
+        dispatch for the whole run (~1.8x the host ladder on the bench
+        problem). Requires a jittable target, adaptive scheduling, and
+        no preconditioning transform; per-iteration checkpoints are
+        written from inside the loop via ``io_callback``. The default
+        (``None``) AUTO-SELECTS it whenever those conditions hold and
+        per-iteration sample history is not requested; pass ``False``
+        to force the host ladder.
         """
         self.sampler_kwargs = dict(self.default_sampler_kwargs)
         self.sampler_kwargs.update(sampler_kwargs or {})
         n_final_steps = self.sampler_kwargs.pop("n_final_steps", None)
         self._step_size_carry = None  # re-adapt from defaults per run
+        self._lineage_fraction = 1.0  # fresh population: all independent
 
         resumed = resume_from is not None
         if resumed:
@@ -1013,6 +1168,20 @@ class SMCSampler(Sampler):
                 )
                 checkpoint_callback(state)
 
+        if device_ladder is None:
+            device_ladder = (
+                self.adaptive
+                and self.preconditioning_transform is None
+                and not store_sample_history
+                and self.target_is_jittable()
+            )
+            if device_ladder:
+                logger.info(
+                    "Auto-selected the single-dispatch device ladder "
+                    "(jittable target, no preconditioning; pass "
+                    "device_ladder=False to force the host ladder)."
+                )
+
         if run_smc_loop and device_ladder:
             samples, iterations = self._run_device_ladder(
                 samples,
@@ -1088,12 +1257,24 @@ class SMCSampler(Sampler):
                 self.history.ess_target.append(ess_at_one)
 
                 self.history.log_norm_ratio.append(ratio)
-                self.history.log_norm_ratio_var.append(var)
+                # The delta-method variance assumes n independent
+                # particles; after repeated resampling with imperfect
+                # mutation mixing the population degenerates into fewer
+                # independent lineages. Inflate by the tracked
+                # lineage-degeneracy factor (see _update_lineage_*).
+                self.history.log_norm_ratio_var.append(
+                    var / self._lineage_fraction
+                )
+                self.history.lineage_fraction.append(
+                    self._lineage_fraction
+                )
                 logger.info(
-                    "it %d - Log evidence ratio: %.2f +/- %.2f",
+                    "it %d - Log evidence ratio: %.2f +/- %.2f "
+                    "(lineage fraction %.2f)",
                     iterations,
                     ratio,
-                    math.sqrt(max(var, 0.0)),
+                    math.sqrt(max(var, 0.0) / self._lineage_fraction),
+                    self._lineage_fraction,
                 )
 
                 with self.profiler.phase("resample"):
@@ -1101,9 +1282,14 @@ class SMCSampler(Sampler):
                         beta,
                         key=self.next_key(),
                         method=self.resampling_method,
+                        impl=self.resampling_impl
+                        if self.mesh is not None
+                        else "auto",
                     )
+                self._update_lineage_after_resample(ess, len(samples))
                 with self.profiler.phase("mutate"):
                     samples = self.mutate(samples, beta)
+                self._update_lineage_after_mutation()
                 self.profiler.add(
                     "particle_steps",
                     len(samples)
@@ -1166,13 +1352,64 @@ class SMCSampler(Sampler):
                     if isinstance(call, dict):
                         call.get("kwargs", {}).pop("resume_from", None)
         config["resampling_method"] = self.resampling_method
+        config["resampling_impl"] = self.resampling_impl
         return config
 
     def _checkpoint_extra_state(self) -> dict:
-        return {
+        extra = {
             "history": copy.deepcopy(self.history),
             "sampler_kwargs": getattr(self, "sampler_kwargs", None),
+            "lineage_fraction": getattr(self, "_lineage_fraction", 1.0),
         }
+        # A fitted flow-preconditioning transform is run state the
+        # resumed sampler cannot re-derive — persist the transport map.
+        transform = self.preconditioning_transform
+        payload_fn = getattr(transform, "checkpoint_payload", None)
+        if payload_fn is not None:
+            extra["preconditioning_state"] = payload_fn()
+        return extra
+
+    # -- lineage-degeneracy tracking -----------------------------------------
+    #
+    # The per-step evidence variance (delta method) divides by n as if
+    # every particle were independent. They are not: each resampling
+    # collapses the population onto ~ESS distinct ancestors, and a
+    # mutation kernel with integrated autocorrelation time tau over k
+    # steps only decorrelates duplicates by a factor 1 - rho^(2k)
+    # (two chains started at the same point keep cross-correlation
+    # rho^k * rho^k). We track the effective independent-lineage
+    # FRACTION f recursively:
+    #
+    #   resample:  f <- f * (ESS / n)
+    #   mutation:  f <- f + (1 - f) * (1 - rho^(2k)),  rho = (tau-1)/(tau+1)
+    #
+    # and report Var / f instead of Var. Perfect mixing (tau = 1) keeps
+    # f = 1 and changes nothing; a stuck kernel (tau ~ k) makes f decay
+    # geometrically so the reported error honestly blows up instead of
+    # pretending n independent particles (TODO.md "Statistics": the
+    # mala_smc@10-step underestimate).
+
+    def _update_lineage_after_resample(self, ess: float, n: int) -> None:
+        self._lineage_fraction = max(
+            self._lineage_fraction * max(ess, 1.0) / n, 1.0 / n
+        )
+
+    def _update_lineage_after_mutation(self) -> None:
+        stats = getattr(self, "_last_chain_stats", None)
+        if stats is None:
+            return
+        tau, mixing = stats
+        k = int(self.sampler_kwargs.get("n_steps") or 5 * self.dims)
+        rho = max((tau - 1.0) / (tau + 1.0), 0.0)
+        # Decorrelation needs BOTH a short autocorrelation time and
+        # chains that actually traverse the target: a kernel mixing
+        # fast inside one mode (rho small, mixing small) cannot make
+        # resampled duplicates independent samples of the whole
+        # distribution.
+        recovered = (1.0 - rho ** (2 * k)) * mixing
+        self._lineage_fraction += (
+            1.0 - self._lineage_fraction
+        ) * recovered
 
     def restore_smc_checkpoint(
         self, source
@@ -1186,6 +1423,20 @@ class SMCSampler(Sampler):
         self.history = state.get("history", SMCHistory())
         if state.get("sampler_kwargs"):
             self.sampler_kwargs = state["sampler_kwargs"]
+        self._lineage_fraction = float(
+            state.get("lineage_fraction", 1.0)
+        )
+        if state.get("preconditioning_state") is not None:
+            from ..transforms import get_transform_class
+
+            payload = state["preconditioning_state"]
+            self.preconditioning_transform = get_transform_class(
+                payload["class"]
+            ).from_checkpoint_payload(payload)
+            logger.info(
+                "Restored the fitted preconditioning transport map "
+                "from the checkpoint."
+            )
         samples = SMCSamples.from_samples(
             samples, beta=beta, dtype=self.dtype
         )

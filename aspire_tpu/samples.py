@@ -873,8 +873,17 @@ class SMCSamples(BaseSamples):
         key: jax.Array | None = None,
         method: str = "systematic",
         rng=None,
+        impl: str = "auto",
     ) -> "SMCSamples":
-        """Resample particles to temperature ``beta`` on device."""
+        """Resample particles to temperature ``beta`` on device.
+
+        ``impl="auto"`` lets GSPMD lower the global gather;
+        ``impl="ring"`` uses the hand-rolled shard_map collective
+        (:func:`aspire_tpu.ops.resampling.ring_resample_matrix`:
+        weight all-gather + ppermute ring) — bit-identical results,
+        explicit collective schedule, O(chunk*d) peak memory. Requires
+        a mesh-sharded population and ``n_samples == n``.
+        """
         n = len(self.x)
         if n_samples is None:
             n_samples = n
@@ -888,6 +897,14 @@ class SMCSamples(BaseSamples):
             rng = rng or np.random.default_rng()
             key = jax.random.key(int(rng.integers(2**31 - 1)))
         same_beta = beta == self.beta
+        if impl == "ring":
+            return self._resample_ring(
+                key, beta, n_samples, method, bool(same_beta)
+            )
+        if impl != "auto":
+            raise ValueError(
+                f"Unknown resampling impl {impl!r}: use 'auto' or 'ring'."
+            )
         x, ll, lp, lq = _resample_on_device(
             key,
             self.x,
@@ -900,11 +917,79 @@ class SMCSamples(BaseSamples):
             method=method,
             uniform_weights=bool(same_beta),
         )
+        # The resampling gather is all-to-all, so GSPMD lowers its
+        # output REPLICATED. Left alone, every downstream mutation would
+        # then run replicated on all devices (no speedup at all) — pin
+        # the outputs back to the input's particle sharding. The
+        # device_put is cheap: each device just keeps its own slice.
+        in_sharding = getattr(self.x, "sharding", None)
+        if (
+            isinstance(in_sharding, jax.sharding.NamedSharding)
+            and in_sharding.spec
+            and n_samples == n
+        ):
+            # P over the leading axis applies to (n, d) and (n,) alike.
+            x, ll, lp, lq = jax.device_put((x, ll, lp, lq), in_sharding)
         return self.__class__(
             x=x,
             log_likelihood=ll,
             log_prior=lp,
             log_q=lq,
+            beta=beta,
+            dtype=self.dtype,
+            parameters=self.parameters,
+        )
+
+    def _resample_ring(
+        self, key, beta, n_samples: int, method: str, same_beta: bool
+    ) -> "SMCSamples":
+        """Hand-rolled sharded resample (weight all-gather + ring)."""
+        from .ops.resampling import ring_resample_matrix
+
+        sharding = getattr(self.x, "sharding", None)
+        if not (
+            isinstance(sharding, jax.sharding.NamedSharding)
+            and sharding.spec
+        ):
+            raise ValueError(
+                "impl='ring' needs a mesh-sharded population; use "
+                "impl='auto' for single-device runs."
+            )
+        if n_samples != len(self.x):
+            raise ValueError(
+                "impl='ring' resamples the full population "
+                "(n_samples == n)."
+            )
+        if same_beta:
+            log_w = jnp.zeros(len(self.x), dtype=self.x.dtype)
+        else:
+            log_w = (self.beta - beta) * self.log_q + (
+                beta - self.beta
+            ) * (self.log_likelihood + self.log_prior)
+            log_w = jnp.where(jnp.isnan(log_w), -jnp.inf, log_w)
+        packed = jnp.concatenate(
+            [
+                self.x,
+                self.log_likelihood[:, None].astype(self.x.dtype),
+                self.log_prior[:, None].astype(self.x.dtype),
+                self.log_q[:, None].astype(self.x.dtype),
+            ],
+            axis=1,
+        )
+        out = ring_resample_matrix(
+            key,
+            log_w.astype(self.x.dtype),
+            packed,
+            sharding.mesh,
+            axis_name=sharding.spec[0],
+            method=method,
+        )
+        d = self.dims
+        return self.__class__(
+            x=out[:, :d],
+            log_likelihood=out[:, d],
+            log_prior=out[:, d + 1],
+            log_q=out[:, d + 2],
             beta=beta,
             dtype=self.dtype,
             parameters=self.parameters,

@@ -469,6 +469,17 @@ class CompositeTransform(BaseTransform):
         return self._prior_bounds_config
 
     @property
+    def is_identity(self) -> bool:
+        """True when no sub-transform is active (the composite is a
+        no-op): callers can drop it and keep fast paths that require
+        ``preconditioning_transform is None``."""
+        return (
+            self._periodic_transform is None
+            and self._bounded_transform is None
+            and self._affine_transform is None
+        )
+
+    @property
     def periodic_mask(self):
         return jnp.asarray(self._periodic_mask)
 
@@ -695,6 +706,76 @@ class FlowPreconditioningTransform(BaseTransform):
             "flow_kwargs": self.flow_kwargs,
             "fit_kwargs": self.fit_kwargs,
         }
+
+    def _rebuild_flow(self, data_transform, params):
+        """Reattach a fitted transport map (no training)."""
+        import jax as _jax
+        import jax.numpy as _jnp
+
+        from .flows import get_flow_class
+
+        FlowClass = get_flow_class(
+            self.flow_backend, flow_matching=self.flow_matching
+        )
+        self.flow = FlowClass(
+            dims=len(self.parameters),
+            data_transform=data_transform,
+            **self.flow_kwargs,
+        )
+        if params is not None:
+            self._params = _jax.tree.map(_jnp.asarray, params)
+            self.flow.params = self._params
+        self._inner_data_transform = self.flow.data_transform
+        self._arch = self.flow.architecture
+
+    def _save_state(self, grp):
+        """Persist the fitted transport map (reference parity:
+        transforms.py:63-122 class-dispatch save of fitted state — the
+        round-1 gap where a checkpoint under ``preconditioning="flow"``
+        silently dropped the map)."""
+        if getattr(self, "_params", None) is None:
+            return
+        from .io import save_pytree_to_hdf5
+
+        save_pytree_to_hdf5(grp, "flow_params", self._params)
+        self._inner_data_transform.save(grp, "inner_data_transform")
+
+    def _load_state(self, grp):
+        if "flow_params" not in grp:
+            return  # saved unfitted
+        from .io import load_pytree_from_hdf5
+
+        inner = BaseTransform.load(grp, "inner_data_transform")
+        self._rebuild_flow(inner, None)
+        self._params = load_pytree_from_hdf5(
+            grp, "flow_params", like=self.flow.params
+        )
+        self.flow.params = self._params
+
+    # -- in-memory checkpoint payload (for the sampler state blob) ---------
+
+    def checkpoint_payload(self) -> dict | None:
+        """Picklable fitted state: config + params + inner transform."""
+        if getattr(self, "_params", None) is None:
+            return None
+        import jax as _jax
+
+        return {
+            "class": type(self).__name__,
+            "config": self.config_dict(),
+            "params": _jax.device_get(self._params),
+            "inner_data_transform": self._inner_data_transform,
+        }
+
+    @classmethod
+    def from_checkpoint_payload(
+        cls, payload: dict
+    ) -> "FlowPreconditioningTransform":
+        obj = cls(**payload["config"])
+        obj._rebuild_flow(
+            payload["inner_data_transform"], payload["params"]
+        )
+        return obj
 
 
 def get_transform_class(name: str) -> type:

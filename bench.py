@@ -128,6 +128,77 @@ def measure_rate(
     return n_particles * n_steps / times[len(times) // 2]
 
 
+# Published TPU v5e (v5 lite) per-chip ceilings.
+V5E_PEAK_BF16_TFLOPS = 197.0
+V5E_PEAK_HBM_GBS = 819.0
+
+
+def roofline_model(n_particles: int, dims: int = 4) -> dict:
+    """Analytic bytes/FLOPs per particle-step for the mutation kernel.
+
+    XLA's ``cost_analysis`` does not multiply through scan bodies on
+    this backend (it reports ~92 flops/particle-step for a kernel with
+    three 64-wide matmuls), so the count is built from the actual flow
+    parameter shapes: every weight matrix ``(a, b)`` contributes
+    ``2ab`` FLOPs per particle per density evaluation, one evaluation
+    per tpCN step, plus small-term estimates for the spline search,
+    the tpCN proposal (Mahalanobis distances, gamma construction), and
+    the target density.
+
+    HBM bytes per particle-step: the chain state (positions + density
+    + RNG-derived proposal buffers) is read and written once per step;
+    activations of the 64-wide MLP stay in VMEM after fusion; the flow
+    parameters are re-read once per STEP, amortized over the particle
+    batch.
+    """
+    from aspire_tpu.flows import Flow
+
+    flow = Flow(
+        dims=dims, architecture="nsf", key=0, n_layers=4,
+        n_hidden=(64, 64),
+    )
+    import jax
+
+    matmul_flops = 0
+    param_bytes = 0
+    for leaf in jax.tree_util.tree_leaves(flow.params):
+        param_bytes += leaf.size * leaf.dtype.itemsize
+        if leaf.ndim == 2:
+            matmul_flops += 2 * leaf.shape[0] * leaf.shape[1]
+    spline_flops = dims * (3 * 8 + 30)  # bin search + RQ evaluation
+    proposal_flops = 4 * dims * dims + 16 * dims + 60  # tpCN + target
+    flops_per_ps = matmul_flops + spline_flops + proposal_flops
+
+    state_bytes = 2 * 4 * (2 * dims + 4)  # r/w: x, proposal, densities
+    bytes_per_ps = state_bytes + param_bytes / n_particles
+    return {
+        "flops_per_particle_step": float(flops_per_ps),
+        "bytes_per_particle_step": float(bytes_per_ps),
+    }
+
+
+def roofline_report(rate: float, model: dict) -> dict:
+    """Achieved fraction of the v5e compute / bandwidth ceilings."""
+    tflops = rate * model["flops_per_particle_step"] / 1e12
+    gbs = rate * model["bytes_per_particle_step"] / 1e9
+    pct_compute = tflops / V5E_PEAK_BF16_TFLOPS
+    pct_hbm = gbs / V5E_PEAK_HBM_GBS
+    return {
+        "achieved_tflops_f32": tflops,
+        "achieved_hbm_gbs": gbs,
+        # f32 math measured against the published bf16 MXU peak: a
+        # LOWER bound on MXU utilization (f32 throughput is a fraction
+        # of bf16's), so the compute ceiling binds even harder than
+        # this number suggests.
+        "pct_of_bf16_compute_peak": pct_compute,
+        "pct_of_hbm_peak": pct_hbm,
+        "binding_ceiling": (
+            "compute (MXU)" if pct_compute >= pct_hbm else "HBM"
+        ),
+        "model_pct_of_roofline": max(pct_compute, pct_hbm),
+    }
+
+
 def correctness_anchor() -> dict:
     """Small end-to-end SMC on the mixture; logZ vs analytic."""
     import jax
@@ -186,6 +257,22 @@ def main():
     rate = measure_rate(n_particles=n_particles, n_steps=n_steps, reps=5)
     _log(f"mutation rate: {rate:.3e} particle-steps/s @ n={n_particles}")
 
+    model = roofline_model(n_particles)
+    roofline = roofline_report(rate, model)
+    _log(
+        "roofline: {flops:.0f} FLOPs + {bts:.1f} B per particle-step -> "
+        "{tf:.2f} TFLOP/s ({pc:.1%} of bf16 peak), {gb:.1f} GB/s "
+        "({ph:.2%} of HBM peak); binding ceiling: {bind}".format(
+            flops=model["flops_per_particle_step"],
+            bts=model["bytes_per_particle_step"],
+            tf=roofline["achieved_tflops_f32"],
+            pc=roofline["pct_of_bf16_compute_peak"],
+            gb=roofline["achieved_hbm_gbs"],
+            ph=roofline["pct_of_hbm_peak"],
+            bind=roofline["binding_ceiling"],
+        )
+    )
+
     # CPU baseline via subprocess (honest stand-in for the reference's
     # CPU orchestration; the reference publishes no numbers).
     cpu_rate = None
@@ -221,6 +308,16 @@ def main():
                 "value": rate,
                 "unit": "particle-steps/s",
                 "vs_baseline": vs_baseline,
+                "model_pct_of_roofline": roofline[
+                    "model_pct_of_roofline"
+                ],
+                "roofline_binding_ceiling": roofline["binding_ceiling"],
+                "flops_per_particle_step": model[
+                    "flops_per_particle_step"
+                ],
+                "bytes_per_particle_step": model[
+                    "bytes_per_particle_step"
+                ],
             }
         )
     )

@@ -154,3 +154,88 @@ def test_completed_checkpoint_skips_loop(checkpoint_file, initial_samples):
         200, resume_from=str(checkpoint_file), n_final_samples=250
     )
     assert len(samples) == 250
+
+
+def test_resume_with_flow_preconditioning(tmp_path, initial_samples):
+    """A checkpoint taken while preconditioning='flow' is active must
+    carry the fitted transport map: the resumed sampler continues with
+    the SAME map instead of silently running unpreconditioned."""
+    import numpy as np
+
+    path = tmp_path / "flow_precond.h5"
+    asp = make_aspire()
+    asp.fit(initial_samples, n_epochs=6, batch_size=256)
+    sampler = asp.init_sampler(
+        "smc",
+        preconditioning="flow",
+        preconditioning_kwargs={"fit_kwargs": {"n_epochs": 3}},
+    )
+    sampler.sample(
+        128,
+        max_n_steps=2,
+        sampler_kwargs={"n_steps": 4},
+        checkpoint_every=1,
+        checkpoint_file_path=str(path),
+    )
+    fitted = sampler.preconditioning_transform
+    assert fitted._params is not None
+
+    fresh = asp.init_sampler(
+        "smc",
+        preconditioning="flow",
+        preconditioning_kwargs={"fit_kwargs": {"n_epochs": 3}},
+    )
+    assert fresh.preconditioning_transform._params is None
+    samples = fresh.sample(
+        128, resume_from=str(path), sampler_kwargs={"n_steps": 4}
+    )
+    restored = fresh.preconditioning_transform
+    # The transport map came back fitted and numerically identical.
+    assert restored._params is not None
+    for a, b in zip(
+        jax_leaves(fitted._params), jax_leaves(restored._params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6
+        )
+    assert fresh.history.beta[-1] == 1.0
+    assert np.isfinite(float(samples.log_evidence))
+
+
+def jax_leaves(tree):
+    import jax
+
+    return jax.tree_util.tree_leaves(tree)
+
+
+def test_flow_preconditioning_hdf5_roundtrip(tmp_path, initial_samples):
+    """Transform-level save/load (class dispatch) restores the map."""
+    import h5py
+    import jax
+    import numpy as np
+
+    from aspire_tpu.transforms import (
+        BaseTransform,
+        FlowPreconditioningTransform,
+    )
+
+    t = FlowPreconditioningTransform(
+        parameters=["x_0", "x_1"],
+        flow_backend="maf",
+        fit_kwargs={"n_epochs": 3},
+    )
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(256, 2))
+    z = t.fit(x)
+    with h5py.File(tmp_path / "t.h5", "w") as f:
+        t.save(f, "precond")
+    with h5py.File(tmp_path / "t.h5", "r") as f:
+        t2 = BaseTransform.load(f, "precond")
+    z2, logj2 = t2.forward(x)
+    z1, logj1 = t.forward(x)
+    np.testing.assert_allclose(
+        np.asarray(z2), np.asarray(z1), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(logj2), np.asarray(logj1), rtol=1e-5, atol=1e-6
+    )

@@ -182,7 +182,7 @@ def test_save_results(fitted_aspire, tmp_path):
     # estimate (reference EmceeSMC parity, smc/emcee.py:66-84).
     assert len(history.mcmc_autocorr) == len(history.mcmc_acceptance)
     assert len(history.mcmc_autocorr) > 0
-    assert all(1.0 <= t <= 5.0 for t in history.mcmc_autocorr)
+    assert all(t >= 1.0 and np.isfinite(t) for t in history.mcmc_autocorr)
     path = tmp_path / "result.h5"
     with AspireFile(path, "w") as f:
         fitted_aspire.save_config(f, "aspire_config")
@@ -274,11 +274,84 @@ def test_device_ladder_matches_host_ladder(fitted_aspire):
 
 
 def test_device_ladder_rejects_unsupported_configs(fitted_aspire):
+    # An ACTIVE transform (affine whitening) blocks the device ladder;
+    # note the default "standard" composite with no periodic/bounded/
+    # affine members is a no-op and gets dropped entirely, so it no
+    # longer conflicts.
     with pytest.raises(ValueError, match="preconditioning"):
         fitted_aspire.sample_posterior(
             sampler="smc",
             n_samples=64,
             preconditioning="standard",
+            preconditioning_kwargs={"affine_transform": True},
             device_ladder=True,
             sampler_kwargs=dict(n_steps=2),
         )
+
+
+def test_identity_preconditioning_dropped(fitted_aspire):
+    """A 'standard' composite with no active members resolves to no
+    transform at all (keeps transform-free fast paths eligible)."""
+    sampler = fitted_aspire.init_sampler("smc", preconditioning="standard")
+    assert sampler.preconditioning_transform is None
+    sampler = fitted_aspire.init_sampler(
+        "smc",
+        preconditioning="standard",
+        preconditioning_kwargs={"affine_transform": True},
+    )
+    assert sampler.preconditioning_transform is not None
+
+
+def test_device_ladder_auto_selected(fitted_aspire):
+    """With a jittable target and no active preconditioning, the
+    default path runs the single-dispatch device ladder."""
+    samples = fitted_aspire.sample_posterior(
+        sampler="smc",
+        n_samples=256,
+        store_sample_history=False,
+        sampler_kwargs=dict(n_steps=5),
+    )
+    assert float(samples.log_evidence) == pytest.approx(
+        TRUE_LOG_Z, abs=0.5
+    )
+    # The ladder program (not the per-iteration mutate program) is in
+    # the sampler's compile cache.
+    assert any(
+        key[0] == "ladder"
+        for key in fitted_aspire.sampler._mutate_cache
+    )
+
+
+def test_device_ladder_checkpoint_and_resume(fitted_aspire, tmp_path):
+    """Per-iteration io_callback checkpoints from inside the compiled
+    while_loop, and a fresh sampler resumes from them mid-ladder."""
+    path = str(tmp_path / "ladder_ckpt.h5")
+    recorded = []
+    sampler = fitted_aspire.init_sampler("smc", preconditioning="none")
+    sampler.sample(
+        256,
+        device_ladder=True,
+        sampler_kwargs={"n_steps": 5},
+        checkpoint_callback=lambda s: recorded.append(s),
+    )
+    # One checkpoint per temperature iteration, streamed from in-loop.
+    assert len(recorded) >= len(sampler.history.beta)
+    mid = recorded[len(recorded) // 2]
+    assert 0.0 < mid["meta"]["beta"] <= 1.0
+    assert len(mid["history"].beta) == mid["iteration"]
+
+    sampler.save_checkpoint_to_hdf(mid, path)
+    fresh = fitted_aspire.init_sampler("smc", preconditioning="none")
+    samples = fresh.sample(
+        256,
+        device_ladder=True,
+        resume_from=path,
+        sampler_kwargs={"n_steps": 5},
+    )
+    assert fresh.history.beta[: mid["iteration"]] == pytest.approx(
+        mid["history"].beta
+    )
+    assert fresh.history.beta[-1] == 1.0
+    assert float(samples.log_evidence) == pytest.approx(
+        TRUE_LOG_Z, abs=0.5
+    )

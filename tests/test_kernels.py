@@ -208,24 +208,30 @@ class TestAutocorrTracking:
 
         n_steps = 2000
         state = init_state(key, n=256)
-        _, _, tau = jax.jit(
+        _, _, stats = jax.jit(
             lambda s: K.run_chain(
                 ar1_step, s, n_steps, track_autocorr=True
             )
         )(state)
         expected = (1 + rho) / (1 - rho)  # = 9.0
-        assert float(tau) == pytest.approx(expected, rel=0.15)
+        assert float(stats.tau) == pytest.approx(expected, rel=0.15)
+        # Independent AR(1) walkers all traverse the same stationary
+        # distribution, so within/pooled variance is ~1.
+        assert float(stats.mixing) == pytest.approx(1.0, abs=0.1)
 
     def test_frozen_chain_saturates(self, key):
-        """A chain that never moves reports the maximum measurable IAT."""
+        """A chain that never moves reports a huge IAT (the rho clip),
+        far beyond the chain length — conservative, not 'mixed'."""
         identity = lambda s: s  # noqa: E731
         n_steps = 50
-        _, _, tau = jax.jit(
+        _, _, stats = jax.jit(
             lambda s: K.run_chain(
                 identity, s, n_steps, track_autocorr=True
             )
         )(init_state(key, n=64))
-        assert float(tau) == pytest.approx(n_steps)
+        assert float(stats.tau) > 100 * n_steps
+        # Frozen walkers have zero within-chain variance.
+        assert float(stats.mixing) == pytest.approx(0.0, abs=1e-6)
 
     def test_independence_sampler_tau_one(self, key):
         def fresh_step(state):
@@ -234,12 +240,13 @@ class TestAutocorrTracking:
                 x=jax.random.normal(sub, state.x.shape), key=k
             )
 
-        _, _, tau = jax.jit(
+        _, _, stats = jax.jit(
             lambda s: K.run_chain(
                 fresh_step, s, 500, track_autocorr=True
             )
         )(init_state(key, n=128))
-        assert float(tau) == pytest.approx(1.0, abs=0.15)
+        assert float(stats.tau) == pytest.approx(1.0, abs=0.15)
+        assert float(stats.mixing) == pytest.approx(1.0, abs=0.1)
 
 
 class TestGaussianReference:

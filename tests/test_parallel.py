@@ -143,3 +143,108 @@ def test_sample_posterior_routes_mesh_to_sampler(mesh):
     )
     assert asp.sampler.mesh is mesh
     assert len(samples) == 64
+
+
+class TestRingResampling:
+    """Hand-rolled shard_map resampling (SURVEY.md §5): weight
+    all-gather + ppermute ring, bit-identical to the GSPMD path."""
+
+    def _population(self, mesh, rng, n=256, d=3):
+        import jax
+
+        from aspire_tpu.samples import SMCSamples
+
+        sh = particle_sharding(mesh)
+        s = SMCSamples(
+            x=jax.device_put(
+                jnp.asarray(rng.normal(size=(n, d)), jnp.float32), sh
+            ),
+            beta=0.2,
+        )
+        s.log_likelihood = jax.device_put(
+            jnp.asarray(rng.normal(size=n), jnp.float32), sh
+        )
+        s.log_prior = jax.device_put(
+            jnp.asarray(rng.normal(size=n), jnp.float32), sh
+        )
+        s.log_q = jax.device_put(
+            jnp.asarray(rng.normal(size=n), jnp.float32), sh
+        )
+        return s
+
+    def test_ring_matches_gspmd_bit_exact(self, mesh, rng):
+        import jax
+
+        pop = self._population(mesh, rng)
+        key = jax.random.key(11)
+        auto = pop.resample(0.6, key=key, impl="auto")
+        ring = pop.resample(0.6, key=key, impl="ring")
+        for field in ("x", "log_likelihood", "log_prior", "log_q"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(ring, field)),
+                np.asarray(getattr(auto, field)),
+            )
+        # Output keeps the particle sharding (no replication fallback).
+        assert len(ring.x.sharding.device_set) == 8
+        assert ring.x.sharding.spec == particle_sharding(mesh).spec
+
+    def test_ring_collective_schedule(self, mesh, rng):
+        """Pin the collective recipe: exactly one all-gather (the O(n)
+        weight vector) and a ppermute ring; the (n, d) particle matrix
+        is never globally gathered."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from jax.experimental.shard_map import shard_map
+
+        from aspire_tpu.ops import resampling as R
+
+        n, cols = 256, 6
+        ring = [(i, (i + 1) % 8) for i in range(8)]
+        resampler = R.get_resampler("systematic")
+
+        def local_fn(key, lw_local, block):
+            chunk = block.shape[0]
+            lw_global = jax.lax.all_gather(lw_local, "data", tiled=True)
+            idx = resampler(key, lw_global, lw_global.shape[0])
+            me = jax.lax.axis_index("data")
+            idx_mine = jax.lax.dynamic_slice_in_dim(
+                idx, me * chunk, chunk
+            )
+
+            def step(r, carry):
+                held, out = carry
+                src = (me - r) % 8
+                rows = idx_mine - src * chunk
+                want = (rows >= 0) & (rows < chunk)
+                out = jnp.where(
+                    want[:, None], held[jnp.clip(rows, 0, chunk - 1)], out
+                )
+                return jax.lax.ppermute(held, "data", perm=ring), out
+
+            return jax.lax.fori_loop(
+                0, 8, step, (block, jnp.zeros_like(block))
+            )[1]
+
+        fn = jax.jit(
+            shard_map(
+                local_fn,
+                mesh=mesh,
+                in_specs=(P(), P("data"), P("data")),
+                out_specs=P("data"),
+                check_rep=False,
+            )
+        )
+        import jax.numpy as jnp_  # noqa: F401
+
+        key = jax.random.key(0)
+        lw = jnp.zeros(n, jnp.float32)
+        data = jnp.zeros((n, cols), jnp.float32)
+        text = fn.lower(key, lw, data).as_text()
+        assert "collective_permute" in text
+        # Every all_gather in the program is the 1-D weight vector —
+        # the (n, cols) particle matrix is never globally gathered.
+        gather_lines = [
+            line for line in text.splitlines() if "all_gather" in line
+        ]
+        assert 1 <= len(gather_lines) <= 2
+        assert all(f"x{cols}x" not in line for line in gather_lines)

@@ -109,3 +109,64 @@ class TestDetermineBeta:
         )
         # min step scaled by (1 - beta_prev) / (1 - beta_star).
         assert min_step == pytest.approx(0.01 / (1 - beta), rel=1e-3)
+
+
+class TestLineageDegeneracy:
+    """The evidence-error inflation recursion: resampling shrinks the
+    independent-lineage fraction by ESS/n, mutation recovers it by
+    1 - rho^(2k) with rho from the recorded autocorrelation time."""
+
+    def _sampler(self, n_steps=10):
+        from aspire_tpu.history import SMCHistory
+
+        s = make_sampler()
+        s.dims = 2
+        s.sampler_kwargs = {"n_steps": n_steps}
+        s.history = SMCHistory()
+        s._lineage_fraction = 1.0
+        return s
+
+    def test_perfect_mixing_keeps_full_fraction(self):
+        s = self._sampler()
+        for _ in range(20):
+            s._update_lineage_after_resample(ess=500.0, n=1000)
+            # tau = 1, full traversal: an iid kernel.
+            s._last_chain_stats = (1.0, 1.0)
+            s._update_lineage_after_mutation()
+        assert s._lineage_fraction == pytest.approx(1.0)
+
+    def test_stuck_kernel_decays_geometrically(self):
+        s = self._sampler(n_steps=10)
+        for _ in range(10):
+            s._update_lineage_after_resample(ess=500.0, n=1000)
+            # tau at the frozen-chain saturation (~2e4): duplicates
+            # essentially never decorrelate within a sweep.
+            s._last_chain_stats = (2e4, 1.0)
+            s._update_lineage_after_mutation()
+        # Ten halvings with barely any recovery: tiny fraction, so the
+        # reported evidence variance is inflated by orders of magnitude.
+        assert s._lineage_fraction < 0.05
+
+    def test_fraction_floor_is_one_particle(self):
+        s = self._sampler()
+        for _ in range(100):
+            s._update_lineage_after_resample(ess=1.0, n=1000)
+        assert s._lineage_fraction >= 1.0 / 1000
+
+    def test_partial_recovery_between_extremes(self):
+        s = self._sampler(n_steps=5)
+        s._update_lineage_after_resample(ess=500.0, n=1000)
+        s._last_chain_stats = (3.0, 1.0)
+        s._update_lineage_after_mutation()
+        assert 0.5 < s._lineage_fraction < 1.0
+
+    def test_mode_trapped_kernel_inflates_despite_small_tau(self):
+        """The mala-on-a-mixture failure: tau is small (good local
+        mixing) but chains never traverse modes (mixing << 1), so the
+        lineage fraction must still decay."""
+        s = self._sampler(n_steps=10)
+        for _ in range(10):
+            s._update_lineage_after_resample(ess=500.0, n=1000)
+            s._last_chain_stats = (2.0, 0.2)  # fast locally, trapped
+            s._update_lineage_after_mutation()
+        assert s._lineage_fraction < 0.4
