@@ -43,6 +43,19 @@ _TILE = int(os.environ.get("ASPIRE_TPU_FUSED_TILE", "2048"))
 # fused kernel only adds compile time (one Pallas compile per shape).
 _MIN_FUSED_N = int(os.environ.get("ASPIRE_TPU_FUSED_MIN_N", "4096"))
 
+
+def _conditioner_dot(w, h, dtype):
+    """One conditioner matmul on the MXU.
+
+    Measured (round 2): explicitly casting the operands to bf16 is
+    bit-identical and speed-neutral here — XLA's DEFAULT dot precision
+    on TPU already feeds the MXU bf16 inputs for f32 dots, so the
+    conditioner has been running at the bf16 MXU rate all along. The
+    remaining matmul headroom is SHAPE, not precision: the 64/92-wide
+    layers pad to the 128x128 systolic array.
+    """
+    return jnp.dot(w, h, preferred_element_type=jnp.float32).astype(dtype)
+
 DEFAULT_MIN_BIN_WIDTH = 1e-3
 DEFAULT_MIN_BIN_HEIGHT = 1e-3
 DEFAULT_MIN_DERIVATIVE = 1e-3
@@ -338,12 +351,7 @@ def _coupling_kernel(arch, mode: str, n_dense: int, xt_ref, *refs):
         for j in range(n_dense):
             w = w_refs[2 * j][layer]  # (out, in)
             b = w_refs[2 * j + 1][layer]  # (out, 1)
-            h = (
-                jnp.dot(w, h, preferred_element_type=jnp.float32).astype(
-                    dtype
-                )
-                + b
-            )
+            h = _conditioner_dot(w, h, dtype) + b
             if j < n_dense - 1:
                 h = jax.nn.relu(h)
         hg = h.reshape(a, G, h.shape[-1])  # (a, G, T): active dims only
@@ -498,12 +506,7 @@ def _maf_kernel(arch, n_dense: int, xt_ref, *refs):
         for j in range(n_dense):
             w = w_refs[2 * j][layer]
             b = w_refs[2 * j + 1][layer]
-            h = (
-                jnp.dot(w, h, preferred_element_type=jnp.float32).astype(
-                    dtype
-                )
-                + b
-            )
+            h = _conditioner_dot(w, h, dtype) + b
             if j < n_dense - 1:
                 h = jax.nn.relu(h)
         hg = h.reshape(d, G, h.shape[-1])
