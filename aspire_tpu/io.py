@@ -305,7 +305,10 @@ def load_sharded_array(h5_files, path: str, sharding=None):
         bounds = [sl.indices(dim) for sl, dim in zip(region, shape)]
         out_shape = tuple(stop - start for start, stop, _ in bounds)
         out = np.empty(out_shape, dtype)
-        covered = 0
+        # Element-wise fill mask: replicated shards may overlap, so a
+        # byte COUNT cannot prove coverage — a lost shard file must
+        # fail loudly rather than hand back np.empty garbage.
+        filled = np.zeros(out_shape, dtype=bool)
         for starts, ds in blocks:
             lo = [max(b[0], s) for b, s in zip(bounds, starts)]
             hi = [
@@ -322,13 +325,13 @@ def load_sharded_array(h5_files, path: str, sharding=None):
                 for a, b, b0 in zip(lo, hi, bounds)
             )
             out[dst] = ds[src]  # hyperslab read: only this region's bytes
-            covered += int(np.prod([b - a for a, b in zip(lo, hi)]))
-        expected = int(np.prod(out_shape)) if out_shape else 1
-        if covered < expected:
+            filled[dst] = True
+        if not filled.all():
+            missing = int(filled.size - filled.sum())
             raise ValueError(
-                f"Shard files cover only {covered}/{expected} elements "
-                f"of region {region} in {path!r} (missing per-process "
-                "shard files?)"
+                f"Shard files leave {missing}/{filled.size} elements "
+                f"of region {region} in {path!r} unfilled (missing "
+                "per-process shard files?)"
             )
         return out
 

@@ -137,6 +137,10 @@ def plot_comparison(
         color = options.pop("color", f"C{index}")
         colors.append(color)
         options["hist_kwargs"] = {
+            # Normalized marginals so sets of different sizes overlay
+            # on a common scale (also honored by the external corner
+            # package when a user routes through it).
+            "density": options.get("density", True),
             "color": color,
             **options.get("hist_kwargs", {}),
         }

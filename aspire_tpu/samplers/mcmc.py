@@ -279,72 +279,75 @@ class ParallelTemperedSampler(MCMCSampler):
             log_p = jnp.asarray(log_prior(view)).reshape(-1) + log_j
             return log_l, log_p
 
-        def tempered_stretch_sweep(zt, llt, lpt, kt, bt):
-            """``swap_every`` stretch moves at ONE temperature, carrying
-            (logL, logPi) so replica swaps never re-evaluate the target.
+        half = n_samples // 2
+        blocks = ((0, half, half, n_samples), (half, n_samples, 0, half))
 
-            vmapped over the temperature axis: all rungs advance in one
-            batched computation instead of a per-temperature unrolled
-            loop (a T=64 ladder compiles the same program as T=8).
-            """
-            n = zt.shape[0]
-            half = n // 2
-            blocks = ((0, half, half, n), (half, n, 0, half))
-
-            def one_move(carry, k_move):
-                z, ll, lp = carry
-                keys = jax.random.split(k_move, 6)
-                for b, (m0, m1, o0, o1) in enumerate(blocks):
-                    n_move, n_other = m1 - m0, o1 - o0
-                    idx = jnp.arange(m0, m1)
-                    pick = jax.random.randint(
-                        keys[3 * b], (n_move,), 0, n_other
-                    )
-                    partners = z[o0 + pick]
-                    u = jax.random.uniform(
-                        keys[3 * b + 1], (n_move,), dtype=z.dtype
-                    )
-                    g = (
-                        u * (jnp.sqrt(a) - jnp.sqrt(1 / a))
-                        + jnp.sqrt(1 / a)
-                    ) ** 2
-                    z_move = z[idx]
-                    z_prop = partners + g[:, None] * (z_move - partners)
-                    ll_prop, lp_prop = logl_logp(z_prop)
-                    t_prop = bt * ll_prop + lp_prop
-                    t_curr = bt * ll[idx] + lp[idx]
-                    # A NaN current density (e.g. beta=0 with logL=-inf)
-                    # must not freeze the walker: treat it as -inf so
-                    # any finite proposal is accepted.
-                    t_curr = jnp.where(jnp.isnan(t_curr), -jnp.inf, t_curr)
-                    log_alpha = (
-                        (self.dims - 1) * jnp.log(g) + t_prop - t_curr
-                    )
-                    log_alpha = jnp.where(
-                        jnp.isnan(log_alpha), -jnp.inf, log_alpha
-                    )
-                    accept = (
-                        jnp.log(
-                            jax.random.uniform(
-                                keys[3 * b + 2], (n_move,)
-                            )
+        def one_move(z, ll, lp, k_move, bt):
+            """One tempered red-black stretch move, carrying (logL,
+            logPi) so replica swaps never re-evaluate the target. Pure
+            jnp ops: runs traced (under vmap/scan) for jittable targets
+            and EAGERLY for host-numpy targets."""
+            keys = jax.random.split(k_move, 6)
+            for b, (m0, m1, o0, o1) in enumerate(blocks):
+                n_move, n_other = m1 - m0, o1 - o0
+                idx = jnp.arange(m0, m1)
+                pick = jax.random.randint(
+                    keys[3 * b], (n_move,), 0, n_other
+                )
+                partners = z[o0 + pick]
+                u = jax.random.uniform(
+                    keys[3 * b + 1], (n_move,), dtype=z.dtype
+                )
+                g = (
+                    u * (jnp.sqrt(a) - jnp.sqrt(1 / a))
+                    + jnp.sqrt(1 / a)
+                ) ** 2
+                z_move = z[idx]
+                z_prop = partners + g[:, None] * (z_move - partners)
+                ll_prop, lp_prop = logl_logp(z_prop)
+                t_prop = bt * ll_prop + lp_prop
+                t_curr = bt * ll[idx] + lp[idx]
+                # A NaN current density (e.g. beta=0 with logL=-inf)
+                # must not freeze the walker: treat it as -inf so
+                # any finite proposal is accepted.
+                t_curr = jnp.where(jnp.isnan(t_curr), -jnp.inf, t_curr)
+                log_alpha = (
+                    (self.dims - 1) * jnp.log(g) + t_prop - t_curr
+                )
+                log_alpha = jnp.where(
+                    jnp.isnan(log_alpha), -jnp.inf, log_alpha
+                )
+                accept = (
+                    jnp.log(
+                        jax.random.uniform(
+                            keys[3 * b + 2], (n_move,)
                         )
-                        < log_alpha
                     )
-                    z = z.at[idx].set(
-                        jnp.where(accept[:, None], z_prop, z_move)
-                    )
-                    ll = ll.at[idx].set(
-                        jnp.where(accept, ll_prop, ll[idx])
-                    )
-                    lp = lp.at[idx].set(
-                        jnp.where(accept, lp_prop, lp[idx])
-                    )
-                return (z, ll, lp), None
+                    < log_alpha
+                )
+                z = z.at[idx].set(
+                    jnp.where(accept[:, None], z_prop, z_move)
+                )
+                ll = ll.at[idx].set(
+                    jnp.where(accept, ll_prop, ll[idx])
+                )
+                lp = lp.at[idx].set(
+                    jnp.where(accept, lp_prop, lp[idx])
+                )
+            return z, ll, lp
+
+        def tempered_stretch_sweep(zt, llt, lpt, kt, bt):
+            """``swap_every`` moves at ONE temperature. vmapped over
+            the temperature axis for jittable targets, so all rungs
+            advance in one batched computation (a T=64 ladder compiles
+            the same program as T=8)."""
+
+            def body(carry, k_move):
+                return one_move(*carry, k_move, bt), None
 
             move_keys = jax.random.split(kt, swap_every)
             (zt, llt, lpt), _ = jax.lax.scan(
-                one_move, (zt, llt, lpt), move_keys
+                body, (zt, llt, lpt), move_keys
             )
             return zt, llt, lpt
 
@@ -410,12 +413,31 @@ class ParallelTemperedSampler(MCMCSampler):
 
             chain = run_all(z0, round_keys)
         else:
-            ll, lp = initial_densities(z0)
-            carry = (z0, ll, lp)
+            # Host-target fallback: the user callable cannot be traced,
+            # so no vmap/scan — plain Python loops calling the SAME
+            # one_move / swap_pass math eagerly (identical key usage,
+            # so the two paths draw the same random streams).
+            z, (ll, lp) = z0, initial_densities(z0)
             outs = []
-            for k in round_keys:
-                carry, z_out = one_round(carry, k)
-                outs.append(z_out)
+            for key_round in round_keys:
+                step_key, even_key, odd_key = jax.random.split(
+                    key_round, 3
+                )
+                step_keys = jax.random.split(step_key, n_temps)
+                per_temp = []
+                for t in range(n_temps):
+                    carry = (z[t], ll[t], lp[t])
+                    for k_move in jax.random.split(
+                        step_keys[t], swap_every
+                    ):
+                        carry = one_move(*carry, k_move, betas_arr[t])
+                    per_temp.append(carry)
+                z = jnp.stack([c[0] for c in per_temp])
+                ll = jnp.stack([c[1] for c in per_temp])
+                lp = jnp.stack([c[2] for c in per_temp])
+                z, ll, lp = swap_pass(z, ll, lp, even_key, 0)
+                z, ll, lp = swap_pass(z, ll, lp, odd_key, 1)
+                outs.append(z)
             chain = jnp.stack(outs)
         # One tempered-density pass per stretch move plus the single
         # initialization pass — swaps reuse carried logL.

@@ -36,7 +36,7 @@ import numpy as np
 from ..history import SMCHistory
 from ..ops.resampling import get_resampler
 from ..ops.special import effective_sample_size
-from ..samples import Samples, SMCSamples
+from ..samples import Samples, SMCSamples, incremental_log_weights
 from ..utils import track_calls
 from .base import Sampler
 from . import kernels as K
@@ -624,6 +624,10 @@ class SMCSampler(Sampler):
             samples.log_prior,
             samples.log_q,
             jnp.asarray(samples.beta or 0.0, dtype=samples.x.dtype),
+            jnp.asarray(
+                getattr(self, "_lineage_fraction", 1.0),
+                dtype=samples.x.dtype,
+            ),
             self.next_key(),
             jnp.asarray(min_beta_step, dtype=samples.x.dtype),
             jnp.asarray(max_beta_step, dtype=samples.x.dtype),
@@ -799,6 +803,7 @@ class SMCSampler(Sampler):
             lpi,
             lq,
             beta0,
+            f_lin0,
             key,
             min_beta_step,
             max_beta_step,
@@ -831,8 +836,9 @@ class SMCSampler(Sampler):
                 "tau_h": zeros_h,
                 "lin_h": zeros_h,
                 # effective independent-lineage fraction (see the host
-                # ladder's _update_lineage_* for the recursion)
-                "f_lin": jnp.asarray(1.0, dtype),
+                # ladder's _update_lineage_* for the recursion);
+                # resumes carry the checkpointed value in.
+                "f_lin": f_lin0.astype(dtype),
             }
 
             def cond(s):
@@ -869,10 +875,9 @@ class SMCSampler(Sampler):
                 stalled = beta <= beta_prev
 
                 key, rs_key, mut_key = jax.random.split(s["key"], 3)
-                log_w = (beta_prev - beta) * s["lq"] + (
-                    beta - beta_prev
-                ) * (s["ll"] + s["lpi"])
-                log_w = jnp.where(jnp.isnan(log_w), -jnp.inf, log_w)
+                log_w = incremental_log_weights(
+                    s["lq"], s["ll"], s["lpi"], beta_prev, beta
+                )
                 idx = resampler(rs_key, log_w, n)
                 x_r = s["x"][idx]
                 if constraint is not None:
@@ -922,8 +927,11 @@ class SMCSampler(Sampler):
                 )
                 acc = jnp.mean(final.n_accept / max(n_steps, 1))
 
-                # Lineage-degeneracy recursion (matches the host ladder).
-                f_lin = s["f_lin"] * jnp.maximum(ess, 1.0) / n
+                # Lineage-degeneracy recursion (matches the host ladder,
+                # including the one-particle floor).
+                f_lin = jnp.maximum(
+                    s["f_lin"] * jnp.maximum(ess, 1.0) / n, 1.0 / n
+                )
                 rho = jnp.maximum((tau - 1.0) / (tau + 1.0), 0.0)
                 f_lin = f_lin + (1.0 - f_lin) * (
                     1.0 - rho ** (2 * n_steps)
@@ -1174,6 +1182,9 @@ class SMCSampler(Sampler):
                 and self.preconditioning_transform is None
                 and not store_sample_history
                 and self.target_is_jittable()
+                # The hand-rolled ring collective is wired into the
+                # host ladder only; honor the user's explicit choice.
+                and self.resampling_impl == "auto"
             )
             if device_ladder:
                 logger.info(
@@ -1181,6 +1192,13 @@ class SMCSampler(Sampler):
                     "(jittable target, no preconditioning; pass "
                     "device_ladder=False to force the host ladder)."
                 )
+        if device_ladder and self.resampling_impl != "auto":
+            logger.warning(
+                "device_ladder resamples via the GSPMD gather; the "
+                "resampling_impl=%r collective applies to the host "
+                "ladder only.",
+                self.resampling_impl,
+            )
 
         if run_smc_loop and device_ladder:
             samples, iterations = self._run_device_ladder(
@@ -1188,11 +1206,23 @@ class SMCSampler(Sampler):
                 min_beta_step=min_beta_step,
                 max_beta_step=max_beta_step,
                 beta_tolerance=beta_tolerance,
-                max_iters=max_n_steps or 100,
+                max_iters=max_n_steps or 256,
                 checkpoint_callback=checkpoint_callback,
             )
             beta = samples.beta
-            run_smc_loop = False
+            if beta < 1.0 and max_n_steps is None:
+                # The compiled ladder is iteration-bounded by its
+                # buffer size; a run that genuinely needs more rungs
+                # continues on the (unbounded) host ladder instead of
+                # silently returning a beta < 1 population.
+                logger.warning(
+                    "Device ladder hit its %d-iteration buffer at "
+                    "beta=%.4f; continuing on the host ladder.",
+                    256,
+                    beta,
+                )
+            else:
+                run_smc_loop = False
 
         if run_smc_loop:
             while True:

@@ -34,6 +34,20 @@ from .utils import asarray, resolve_dtype, to_numpy
 import functools
 
 
+def incremental_log_weights(log_q, log_likelihood, log_prior, beta_prev, beta):
+    """Tempered-path incremental weights with the NaN guard.
+
+    Single source of truth for
+    ``(beta_prev - beta) log_q + (beta - beta_prev)(logL + logPi)``
+    (reference samples.py:1221-1249) — used by the jitted resample, the
+    ring collective, and the device ladder.
+    """
+    log_w = (beta_prev - beta) * log_q + (beta - beta_prev) * (
+        log_likelihood + log_prior
+    )
+    return jnp.where(jnp.isnan(log_w), -jnp.inf, log_w)
+
+
 @functools.partial(
     jax.jit, static_argnames=("n_samples", "method", "uniform_weights")
 )
@@ -58,10 +72,9 @@ def _resample_on_device(
     if uniform_weights:
         log_w = jnp.zeros(x.shape[0], dtype=x.dtype)
     else:
-        log_w = (beta_prev - beta) * log_q + (beta - beta_prev) * (
-            log_likelihood + log_prior
+        log_w = incremental_log_weights(
+            log_q, log_likelihood, log_prior, beta_prev, beta
         )
-        log_w = jnp.where(jnp.isnan(log_w), -jnp.inf, log_w)
     idx = get_resampler(method)(key, log_w, n_samples)
     return x[idx], log_likelihood[idx], log_prior[idx], log_q[idx]
 
@@ -93,47 +106,50 @@ def _trapezoid_weights(betas):
     return w
 
 
+# Both reductions take the log-likelihood matrix CENTERED per rung
+# (the f64 rung means are carried on the host): real problems have
+# |logL| ~ 1e6 where a device f32 cast would cost ~0.06 absolute per
+# element, while the centered spreads are small and f32-safe. The
+# O(T)-sized mean terms are recombined in f64 outside jit.
+
+
 @jax.jit
-def _ti_reduce(betas, logl, tau):
-    """Thermodynamic integration: ``logZ = ∫ E_beta[logL] dbeta``.
+def _ti_spread_error(betas, logl_centered, tau):
+    """Delta-method TI quadrature error from centered draws.
 
-    ``betas``: (T,) ascending. ``logl``: (T, S) per-rung log-likelihood
-    draws. ``tau``: (T,) integrated autocorrelation times (>= 1).
-
-    The quadrature error bar is the delta method applied to the
-    trapezoid rule: rungs are independent chains, so
+    Rungs are independent chains, so
     ``Var(logZ) = sum_t w_t^2 Var(mean logL_t)`` with the per-rung mean
     variance deflated by the effective sample count ``S / tau_t``.
+    Shift-invariant: centering does not change any variance.
     """
     w = _trapezoid_weights(betas)
-    mean_logl = jnp.mean(logl, axis=1)
-    n_eff = logl.shape[1] / tau
-    var_of_mean = jnp.var(logl, axis=1) / n_eff
-    logz = w @ mean_logl
-    err = jnp.sqrt(jnp.sum(jnp.square(w) * var_of_mean))
-    return logz, err
+    n_eff = logl_centered.shape[1] / tau
+    var_of_mean = jnp.var(logl_centered, axis=1) / n_eff
+    return jnp.sqrt(jnp.sum(jnp.square(w) * var_of_mean))
 
 
 @jax.jit
-def _stepping_stone_reduce(betas, logl, tau):
-    """Stepping-stone: ``logZ = sum_j log E_{beta_j}[ L^{dbeta_j} ]``.
+def _stepping_stone_reduce(betas, logl_centered, tau):
+    """Stepping-stone over centered draws.
 
-    Each ratio ``r_j = Z(beta_{j+1}) / Z(beta_j)`` is estimated from the
-    hotter rung ``j`` with a max-shifted mean-exp (f32-safe). All rungs
-    are reduced at once: (T-1, S) shifted integrand, one vmap-free pass.
+    ``log r_j = log E_{beta_j}[ L^{dbeta_j} ]``, estimated from the
+    hotter rung ``j`` with a max-shifted mean-exp; centering only
+    removes the (exactly known) ``dbeta_j * mean_j`` base term, which
+    the caller adds back in f64. All rungs reduce at once: (T-1, S)
+    shifted integrand, one vmap-free pass.
 
     Error: delta method per rung,
     ``Var(log r_j) ≈ relvar(g_j) / n_eff_j`` with
     ``relvar = Var(g)/mean(g)^2``, summed over rungs (independent
-    chains).
+    chains) — also shift-invariant.
     """
     gaps = jnp.diff(betas)  # (T-1,)
-    a = gaps[:, None] * logl[:-1]  # hotter rung powers the ratio
+    a = gaps[:, None] * logl_centered[:-1]  # hotter rung powers the ratio
     shift = jnp.max(a, axis=1, keepdims=True)
     g = jnp.exp(a - shift)
     g_mean = jnp.mean(g, axis=1)
     log_r = jnp.log(g_mean) + jnp.squeeze(shift, axis=1)
-    n_eff = logl.shape[1] / tau[:-1]
+    n_eff = logl_centered.shape[1] / tau[:-1]
     rel_var = jnp.var(g, axis=1) / (n_eff * jnp.square(g_mean))
     return jnp.sum(log_r), jnp.sqrt(jnp.sum(rel_var))
 
@@ -756,8 +772,11 @@ class PTMCMCSamples(MCMCSamples):
         (:func:`_ti_reduce`).
         """
         betas, logl, tau = self._ladder_logl(burn_in_fraction, correlated)
-        logz, err = (
-            float(v) for v in _ti_reduce(betas, logl, tau)
+        # f64 rung means on host; f32-safe centered spread under jit.
+        rung_means = logl.mean(axis=1)
+        logz = float(np.trapezoid(rung_means, betas))
+        err = float(
+            _ti_spread_error(betas, logl - rung_means[:, None], tau)
         )
         if method == "variance":
             return logz, err
@@ -765,7 +784,7 @@ class PTMCMCSamples(MCMCSamples):
             # Richardson-style check: keep every other rung plus both
             # endpoints, re-integrate, and report the difference.
             keep = sorted(set(range(0, len(betas), 2)) | {len(betas) - 1})
-            coarse = float(np.trapezoid(logl.mean(axis=1)[keep], betas[keep]))
+            coarse = float(np.trapezoid(rung_means[keep], betas[keep]))
             return logz, abs(logz - coarse)
         raise ValueError(
             f"Unknown TI error method {method!r}; expected 'variance' "
@@ -793,8 +812,13 @@ class PTMCMCSamples(MCMCSamples):
                 f"(the prior); the hottest rung supplied is at "
                 f"beta={betas[0]}."
             )
-        logz, err = _stepping_stone_reduce(betas, logl, tau)
-        return float(logz), float(err)
+        rung_means = logl.mean(axis=1)
+        shifted, err = _stepping_stone_reduce(
+            betas, logl - rung_means[:, None], tau
+        )
+        # Exact f64 base: sum_j dbeta_j * mean_j over the hotter rungs.
+        base = float(np.sum(np.diff(betas) * rung_means[:-1]))
+        return base + float(shifted), float(err)
 
     def plot_chain(
         self, beta_index: int, n_walkers: int | None = None, **kwargs
@@ -963,33 +987,46 @@ class SMCSamples(BaseSamples):
         if same_beta:
             log_w = jnp.zeros(len(self.x), dtype=self.x.dtype)
         else:
-            log_w = (self.beta - beta) * self.log_q + (
-                beta - self.beta
-            ) * (self.log_likelihood + self.log_prior)
-            log_w = jnp.where(jnp.isnan(log_w), -jnp.inf, log_w)
-        packed = jnp.concatenate(
-            [
-                self.x,
-                self.log_likelihood[:, None].astype(self.x.dtype),
-                self.log_prior[:, None].astype(self.x.dtype),
-                self.log_q[:, None].astype(self.x.dtype),
-            ],
-            axis=1,
-        )
-        out = ring_resample_matrix(
-            key,
-            log_w.astype(self.x.dtype),
-            packed,
-            sharding.mesh,
-            axis_name=sharding.spec[0],
-            method=method,
-        )
-        d = self.dims
+            log_w = incremental_log_weights(
+                self.log_q,
+                self.log_likelihood,
+                self.log_prior,
+                self.beta,
+                beta,
+            )
+        # One ring pass per distinct dtype: fields keep their own
+        # precision (live populations can carry f32 positions with
+        # f64 densities), preserving bit-identity with impl="auto".
+        fields = {
+            "x": self.x,
+            "log_likelihood": self.log_likelihood[:, None],
+            "log_prior": self.log_prior[:, None],
+            "log_q": self.log_q[:, None],
+        }
+        groups: dict = {}
+        for name, arr in fields.items():
+            groups.setdefault(arr.dtype, []).append(name)
+        resampled = {}
+        for dt, names in groups.items():
+            packed = jnp.concatenate([fields[n] for n in names], axis=1)
+            out = ring_resample_matrix(
+                key,
+                log_w,
+                packed,
+                sharding.mesh,
+                axis_name=sharding.spec[0],
+                method=method,
+            )
+            col = 0
+            for n in names:
+                width = fields[n].shape[1]
+                resampled[n] = out[:, col : col + width]
+                col += width
         return self.__class__(
-            x=out[:, :d],
-            log_likelihood=out[:, d],
-            log_prior=out[:, d + 1],
-            log_q=out[:, d + 2],
+            x=resampled["x"],
+            log_likelihood=resampled["log_likelihood"][:, 0],
+            log_prior=resampled["log_prior"][:, 0],
+            log_q=resampled["log_q"][:, 0],
             beta=beta,
             dtype=self.dtype,
             parameters=self.parameters,

@@ -1,8 +1,10 @@
-"""SMC with gradient-based (HMC) mutations.
+"""SMC with gradient-based (NUTS) mutations.
 
-TPU-native counterpart of the reference's examples/blackjax_smc_example.py
-— the NUTS kernel is replaced by the TPU-shaped surrogate: HMC with a
-jittered static trajectory bound (``sampler="nuts_smc"``).
+TPU-native counterpart of the reference's examples/blackjax_smc_example.py.
+``sampler="nuts_smc"`` runs a real static-shape No-U-Turn sampler: each
+particle doubles its own trajectory under ``vmap`` (multinomial
+progressive sampling, bounded ``max_depth``), so trajectory lengths adapt
+per particle with every shape static under ``jit``.
 """
 
 import os
@@ -40,7 +42,7 @@ samples, history = aspire.sample_posterior(
     sampler="nuts_smc",
     n_samples=500,
     target_efficiency=0.8,
-    sampler_kwargs=dict(n_steps=10, step_size=0.1, n_leapfrog=20),
+    sampler_kwargs=dict(n_steps=10, step_size=0.1, max_depth=6),
     return_history=True,
 )
 

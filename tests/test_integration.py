@@ -355,3 +355,28 @@ def test_device_ladder_checkpoint_and_resume(fitted_aspire, tmp_path):
     assert float(samples.log_evidence) == pytest.approx(
         TRUE_LOG_Z, abs=0.5
     )
+
+
+def test_ptmcmc_host_target(initial_samples):
+    """Non-jittable (numpy) targets run the PT sampler's eager path."""
+    import numpy as np
+
+    def np_log_likelihood(samples):
+        x = np.asarray(samples.x)
+        return -0.5 * np.sum((x - 1.0) ** 2, axis=-1) - 0.5 * x.shape[
+            -1
+        ] * np.log(2 * np.pi)
+
+    asp = Aspire(
+        log_likelihood=np_log_likelihood,
+        log_prior=log_prior,
+        dims=DIMS,
+        prior_bounds={f"x_{i}": [-10, 10] for i in range(DIMS)},
+        seed=0,
+    )
+    asp.fit(initial_samples, n_epochs=8, batch_size=256)
+    samples = asp.sample_posterior(
+        n_samples=24, sampler="ptmcmc", n_steps=40, n_temperatures=4
+    )
+    logz, _ = samples.log_evidence_thermodynamic_integration()
+    assert np.isfinite(logz)

@@ -90,7 +90,7 @@ class TestShardedArrayIO:
             save_sharded_array(f, "arr", x)
             del f["arr"][list(f["arr"].keys())[0]]
         with h5py.File(tmp_path / "g.h5", "r") as f:
-            with pytest.raises(ValueError, match="cover only"):
+            with pytest.raises(ValueError, match="unfilled"):
                 load_sharded_array(f, "arr")
 
 
