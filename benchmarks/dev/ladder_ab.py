@@ -16,7 +16,11 @@ n = 131072
 common = dict(sampler="smc", n_samples=n, preconditioning="none",
               store_sample_history=False, sampler_kwargs=dict(n_steps=20))
 
-for mode, extra in [("host", {}), ("device", {"device_ladder": True})]:
+for mode, extra in [
+    ("host", {"device_ladder": False}),
+    ("device", {"device_ladder": True}),
+    ("default", {}),  # auto-selects the device ladder since round 2
+]:
     # warm (compile)
     asp.sample_posterior(**common, **extra)
     ts = []

@@ -380,3 +380,23 @@ def test_ptmcmc_host_target(initial_samples):
     )
     logz, _ = samples.log_evidence_thermodynamic_integration()
     assert np.isfinite(logz)
+
+
+def test_smc_flow_matching_preconditioning(fitted_aspire):
+    """CNF (flow-matching) transport map as the preconditioning
+    transform inside the jitted mutation chain (TODO.md feature):
+    forward/inverse are RK4 ODE integrations traced into the same
+    compiled program."""
+    samples = fitted_aspire.sample_posterior(
+        n_samples=200,
+        sampler="smc",
+        preconditioning="flow",
+        preconditioning_kwargs={
+            "flow_matching": True,
+            "fit_kwargs": {"n_epochs": 3},
+        },
+        sampler_kwargs={"n_steps": 4},
+        max_n_steps=4,
+    )
+    assert np.all(np.isfinite(np.asarray(samples.x)))
+    assert np.isfinite(float(samples.log_evidence))
