@@ -157,6 +157,14 @@ class SMCHistory(History):
     def plot_mcmc_autocorr(self, ax=None):
         return self._plot_series(self.mcmc_autocorr, "MCMC Autocorr", ax)
 
+    def plot_lineage_fraction(self, ax=None):
+        """Effective independent-lineage fraction per iteration: the
+        particle-degeneracy diagnostic that inflates the reported
+        evidence variance (1.0 = fully independent particles)."""
+        return self._plot_series(
+            self.lineage_fraction, "Lineage fraction", ax
+        )
+
     def plot(self, fig=None):
         import matplotlib.pyplot as plt
 

@@ -83,6 +83,7 @@ class TestSMCHistory:
             "plot_eff_target",
             "plot_mcmc_acceptance",
             "plot_mcmc_autocorr",
+            "plot_lineage_fraction",
         ],
     )
     def test_single_plots(self, smc_history, method):
