@@ -607,6 +607,18 @@ class SMCSampler(Sampler):
         # history buffers to the host each temperature step. The sink
         # is read at call time so the compiled ladder stays cached
         # across runs with and without checkpointing enabled.
+        # io_callback gathers its operands to one device (a maximal
+        # sharding), which cannot work on a multi-controller mesh —
+        # there the in-loop checkpoints are skipped (the final
+        # checkpoint is still written shard-wise per process).
+        if checkpoint_callback is not None and jax.process_count() > 1:
+            logger.warning(
+                "Per-iteration device-ladder checkpoints are disabled "
+                "on a multi-process mesh (io_callback would gather the "
+                "global population to one device); a final shard-wise "
+                "checkpoint is still written."
+            )
+            checkpoint_callback = None
         self._ladder_checkpoint_sink = checkpoint_callback
         self._ladder_history_base = copy.deepcopy(self.history)
         self._ladder_base_iteration = len(self.history.beta)
@@ -617,6 +629,8 @@ class SMCSampler(Sampler):
             n_steps, max_iters, with_checkpoint=checkpoint_callback
             is not None,
         )
+        ladder_phase = self.profiler.phase("ladder")
+        ladder_phase.__enter__()
         out = ladder(
             self.flow_state(),
             samples.x,
@@ -669,6 +683,7 @@ class SMCSampler(Sampler):
             lin_h,
             f_lin,
         ) = scalars
+        ladder_phase.__exit__(None, None, None)
         self._lineage_fraction = float(f_lin)
         it = int(it)
         if bool(stalled):
@@ -1101,12 +1116,20 @@ class SMCSampler(Sampler):
             samples.log_prior = self.shard_array(samples.log_prior)
             samples.log_likelihood = self.shard_array(samples.log_likelihood)
 
+        multiprocess = jax.process_count() > 1
         if store_sample_history is None:
             # Per-iteration sample snapshots are a device->host transfer
             # of the full particle array; record them by default only
             # for plot-sized runs (the reference always records, but its
-            # workloads are O(500) particles).
-            store_sample_history = n_samples <= 10_000
+            # workloads are O(500) particles). On a multi-controller
+            # mesh the global array is not host-addressable at all.
+            store_sample_history = n_samples <= 10_000 and not multiprocess
+        if store_sample_history and multiprocess:
+            raise ValueError(
+                "store_sample_history gathers the full population to "
+                "the host, which is impossible on a multi-process "
+                "mesh; pass store_sample_history=False."
+            )
         if store_sample_history:
             self.history.sample_history.append(samples.to_numpy())
 
@@ -1185,6 +1208,13 @@ class SMCSampler(Sampler):
                 # The hand-rolled ring collective is wired into the
                 # host ladder only; honor the user's explicit choice.
                 and self.resampling_impl == "auto"
+                # In-loop io_callback checkpoints cannot run on a
+                # multi-controller mesh; keep the host ladder so
+                # per-iteration checkpoints still happen.
+                and (
+                    checkpoint_callback is None
+                    or jax.process_count() == 1
+                )
             )
             if device_ladder:
                 logger.info(

@@ -73,7 +73,12 @@ def main() -> None:
     )
     smc_s = time.time() - t0
     prof = asp.sampler.profiler
+    # Host ladder times mutation separately; the (default) device
+    # ladder is one dispatch, so its whole wall time is the honest
+    # denominator.
     mutate_s = prof.phases["mutate"].total_s
+    if mutate_s == 0 and "ladder" in prof.phases:
+        mutate_s = prof.phases["ladder"].total_s
     n_temps = len(hist.beta)
     particle_steps = args.particles * args.n_steps * n_temps
     report = {

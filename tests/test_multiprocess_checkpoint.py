@@ -1,0 +1,63 @@
+"""Two-controller sharded checkpoint: per-process files + barrier +
+shard-local reload, run as real separate JAX processes over a shared
+4-device CPU mesh (the multi-host contract in docs/checkpointing.md,
+exercised without TPU pods)."""
+
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+WORKER = Path(__file__).parent / "workers" / "mp_checkpoint_worker.py"
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_sharded_checkpoint(tmp_path):
+    port = str(_free_port())
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(WORKER), str(pid), port, str(tmp_path)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for pid in (0, 1)
+    ]
+    outputs = [p.communicate(timeout=300)[0] for p in procs]
+    for pid, (proc, out) in enumerate(zip(procs, outputs)):
+        assert proc.returncode == 0, f"proc {pid} failed:\n{out}"
+        assert f"proc {pid} OK" in out
+    # Both per-process files exist with their own shards.
+    assert (tmp_path / "ckpt.h5").exists()
+    assert (tmp_path / "ckpt.h5.proc1").exists()
+
+
+def test_two_process_smc_checkpoint_resume(tmp_path):
+    """Full sharded SMC across two controllers: run, checkpoint
+    shard-wise per process mid-ladder, resume in fresh samplers, and
+    finish with identical histories on both processes."""
+    worker = Path(__file__).parent / "workers" / "mp_smc_worker.py"
+    port = str(_free_port())
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(pid), port, str(tmp_path)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for pid in (0, 1)
+    ]
+    outputs = [p.communicate(timeout=600)[0] for p in procs]
+    results = []
+    for pid, (proc, out) in enumerate(zip(procs, outputs)):
+        assert proc.returncode == 0, f"proc {pid} failed:\n{out[-4000:]}"
+        line = [ln for ln in out.splitlines() if f"proc {pid} OK" in ln]
+        assert line, out[-2000:]
+        results.append(line[0].split("logZ=")[1])
+    # Both controllers computed the same evidence (SPMD agreement).
+    assert results[0] == results[1]
