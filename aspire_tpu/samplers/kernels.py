@@ -38,6 +38,17 @@ class ChainState(NamedTuple):
     step_size: jax.Array  # scalar (adapted)
     n_accept: jax.Array  # (n,) running acceptance counts
     grad: jax.Array | None = None  # (n, d) cached gradients (MALA/HMC)
+    #: scalar running count of target-density evaluations — kernels
+    #: with data-dependent work (NUTS trees, HMC leapfrogs) add their
+    #: true cost; fixed-cost kernels add n per step. None = untracked.
+    n_evals: jax.Array | None = None
+
+
+def _count_evals(state: ChainState, amount) -> jax.Array | None:
+    """Accumulate into the eval counter when tracking is on."""
+    if state.n_evals is None:
+        return None
+    return state.n_evals + amount
 
 
 class GaussianReference(NamedTuple):
@@ -161,6 +172,7 @@ def pcn_step(
         key=key,
         step_size=s_new,
         n_accept=state.n_accept + accept,
+        n_evals=_count_evals(state, n),
     )
 
 
@@ -213,6 +225,7 @@ def tpcn_step(
         key=key,
         step_size=s_new,
         n_accept=state.n_accept + accept,
+        n_evals=_count_evals(state, n),
     )
 
 
@@ -251,6 +264,7 @@ def rwmh_step(
         key=key,
         step_size=s_new,
         n_accept=state.n_accept + accept,
+        n_evals=_count_evals(state, n),
     )
 
 
@@ -295,6 +309,7 @@ def mala_step(
         step_size=eps_new,
         n_accept=state.n_accept + accept,
         grad=grad_new,
+        n_evals=_count_evals(state, n),
     )
 
 
@@ -360,6 +375,7 @@ def hmc_step(
         step_size=eps_new,
         n_accept=state.n_accept + accept,
         grad=grad_new,
+        n_evals=_count_evals(state, (n_steps + 1) * n),
     )
 
 
@@ -613,7 +629,7 @@ def nuts_step(
     key, traj_key = jax.random.split(state.key)
     n = state.x.shape[0]
     keys = jax.random.split(traj_key, n)
-    x, lp, grad, accept_stat, _, _ = jax.vmap(
+    x, lp, grad, accept_stat, n_leaf, _ = jax.vmap(
         lambda k, z, l, g: nuts_trajectory(
             k, z, l, g, value_and_grad_fn, state.step_size,
             max_depth=max_depth, max_delta_energy=max_delta_energy,
@@ -633,6 +649,7 @@ def nuts_step(
         step_size=eps_new,
         n_accept=state.n_accept + accept_stat,
         grad=grad,
+        n_evals=_count_evals(state, jnp.sum(n_leaf)),
     )
 
 
@@ -696,6 +713,7 @@ def stretch_step(
         step_size=state.step_size,
         n_accept=n_accept,
         grad=state.grad,
+        n_evals=_count_evals(state, n),
     )
 
 

@@ -388,6 +388,7 @@ class SMCSampler(Sampler):
                     acc_arr,
                     tau_arr,
                     mix_arr,
+                    evals_arr,
                     any_nan_q,
                     any_nan_target,
                     step_carry,
@@ -402,14 +403,14 @@ class SMCSampler(Sampler):
                     self._step_size_carry,
                 )
             self._step_size_carry = step_carry
-            self.n_likelihood_evaluations += (n_steps + 1) * z.shape[0]
             with self.profiler.phase("mutate/sync"):
-                acceptance, tau, mixing, nan_q, nan_target = (
+                acceptance, tau, mixing, evals, nan_q, nan_target = (
                     jax.device_get(
-                        (acc_arr, tau_arr, mix_arr, any_nan_q,
-                         any_nan_target)
+                        (acc_arr, tau_arr, mix_arr, evals_arr,
+                         any_nan_q, any_nan_target)
                     )
                 )
+            self.n_likelihood_evaluations += int(evals)
             self.history.mcmc_acceptance.append(float(acceptance))
             self.history.mcmc_autocorr.append(float(tau))
             self._last_chain_stats = (float(tau), float(mixing))
@@ -516,6 +517,7 @@ class SMCSampler(Sampler):
                     step_size=step0.astype(z.dtype),
                     n_accept=jnp.zeros(z.shape[0], dtype=z.dtype),
                     grad=grad,
+                    n_evals=jnp.zeros((), jnp.float32),
                 )
                 final, _, stats = K.run_chain(
                     step_fn, state, n_steps, track_autocorr=True
@@ -535,6 +537,9 @@ class SMCSampler(Sampler):
                 any_nan_target = (
                     jnp.isnan(log_pi).any() | jnp.isnan(log_l).any()
                 )
+                # Initial density eval + chain evals (exact, even for
+                # data-dependent NUTS trees) + post-chain refresh.
+                total_evals = final.n_evals + 2.0 * z.shape[0]
                 return (
                     x,
                     log_q,
@@ -543,6 +548,7 @@ class SMCSampler(Sampler):
                     acceptance,
                     stats.tau,
                     stats.mixing,
+                    total_evals,
                     any_nan_q,
                     any_nan_target,
                     final.step_size,
@@ -667,6 +673,7 @@ class SMCSampler(Sampler):
                 out["tau_h"],
                 out["lin_h"],
                 out["f_lin"],
+                out["evals"],
             )
         )
         (
@@ -682,6 +689,7 @@ class SMCSampler(Sampler):
             tau_h,
             lin_h,
             f_lin,
+            ladder_evals,
         ) = scalars
         ladder_phase.__exit__(None, None, None)
         self._lineage_fraction = float(f_lin)
@@ -715,7 +723,7 @@ class SMCSampler(Sampler):
                 float(ess_h[i]) / n,
                 float(ratio_h[i]),
             )
-        self.n_likelihood_evaluations += it * (n_steps + 1) * n
+        self.n_likelihood_evaluations += int(ladder_evals)
         self.profiler.add("particle_steps", it * n_steps * n)
 
         new = SMCSamples(
@@ -854,6 +862,7 @@ class SMCSampler(Sampler):
                 # ladder's _update_lineage_* for the recursion);
                 # resumes carry the checkpointed value in.
                 "f_lin": f_lin0.astype(dtype),
+                "evals": jnp.zeros((), jnp.float32),
             }
 
             def cond(s):
@@ -924,6 +933,7 @@ class SMCSampler(Sampler):
                     step_size=step0,
                     n_accept=jnp.zeros(n, dtype=dtype),
                     grad=grad0,
+                    n_evals=jnp.zeros((), jnp.float32),
                 )
                 final, _, cstats = K.run_chain(
                     step_fn, chain0, n_steps, track_autocorr=True
@@ -974,6 +984,7 @@ class SMCSampler(Sampler):
                     "tau_h": s["tau_h"].at[i].set(tau.astype(dtype)),
                     "lin_h": s["lin_h"].at[i].set(s["f_lin"]),
                     "f_lin": f_lin.astype(dtype),
+                    "evals": s["evals"] + final.n_evals + 2.0 * n,
                 }
                 if with_checkpoint:
                     # Post the mutated population + history buffers to

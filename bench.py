@@ -31,6 +31,9 @@ def _log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
+_PIPELINE_S = None  # set by correctness_anchor
+
+
 def build_workload(n_particles: int, dims: int = 4, n_steps: int = 20):
     import jax
     import jax.numpy as jnp
@@ -200,7 +203,10 @@ def roofline_report(rate: float, model: dict) -> dict:
 
 
 def correctness_anchor() -> dict:
-    """Small end-to-end SMC on the mixture; logZ vs analytic."""
+    """Small end-to-end SMC on the mixture; logZ vs analytic. Also
+    times the repeat-call 131072-particle pipeline (compiled programs
+    are cached across sample_posterior calls; the default path
+    auto-compiles the whole adaptive ladder into one dispatch)."""
     import jax
 
     from aspire_tpu import Aspire, Samples
@@ -221,6 +227,26 @@ def correctness_anchor() -> dict:
     samples = asp.sample_posterior(
         sampler="smc", n_samples=8192, sampler_kwargs=dict(n_steps=20)
     )
+
+    pipeline = dict(
+        sampler="smc",
+        n_samples=131072,
+        store_sample_history=False,
+        sampler_kwargs=dict(n_steps=20),
+    )
+    asp.sample_posterior(**pipeline)  # compile
+    walls = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        asp.sample_posterior(**pipeline)
+        walls.append(time.perf_counter() - t0)
+    walls.sort()
+    _log(
+        f"default 131072-particle pipeline (compiled, median of 3): "
+        f"{walls[1]:.3f}s"
+    )
+    global _PIPELINE_S
+    _PIPELINE_S = walls[1]
     # Analytic: Z = 0.5 N(mu1; 0, (0.5+1) I) + 0.5 N(mu2; 0, (1+1) I).
     d = 4
     def gauss_at_zero(mu, var):
@@ -318,6 +344,7 @@ def main():
                 "bytes_per_particle_step": model[
                     "bytes_per_particle_step"
                 ],
+                "pipeline_131072_s": _PIPELINE_S,
             }
         )
     )

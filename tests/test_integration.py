@@ -400,3 +400,23 @@ def test_smc_flow_matching_preconditioning(fitted_aspire):
     )
     assert np.all(np.isfinite(np.asarray(samples.x)))
     assert np.isfinite(float(samples.log_evidence))
+
+
+def test_nuts_counts_true_leapfrog_evals(fitted_aspire):
+    """Eval accounting reflects the data-dependent NUTS tree sizes
+    instead of pretending one evaluation per chain step."""
+    asp = fitted_aspire
+    base = asp.sample_posterior(
+        n_samples=128, sampler="smc", sampler_kwargs={"n_steps": 5},
+        max_n_steps=2,
+    )
+    tpcn_evals = asp.sampler.n_likelihood_evaluations
+    asp.sample_posterior(
+        n_samples=128, sampler="nuts_smc",
+        sampler_kwargs={"n_steps": 5, "max_depth": 5}, max_n_steps=2,
+    )
+    nuts_evals = asp.sampler.n_likelihood_evaluations
+    assert np.all(np.isfinite(np.asarray(base.x)))
+    # NUTS trajectories average many leapfrogs per step: the counter
+    # must be well above the per-step-single-eval floor tpCN has.
+    assert nuts_evals > 2 * tpcn_evals

@@ -248,3 +248,46 @@ class TestRingResampling:
         ]
         assert 1 <= len(gather_lines) <= 2
         assert all(f"x{cols}x" not in line for line in gather_lines)
+
+    def test_full_smc_run_ring_matches_auto(self, mesh, rng):
+        """End-to-end sharded SMC with resampling_impl='ring' follows
+        the identical trajectory as the GSPMD path (same keys, ring
+        resampling is bit-identical, so histories must agree)."""
+        import jax
+
+        from aspire_tpu.flows import Flow
+        from aspire_tpu.models import GaussianProblem
+        from aspire_tpu.samplers import PCNSMC
+
+        p = GaussianProblem(dims=2)
+        flow = Flow(dims=2, architecture="maf", key=0, n_layers=2)
+        flow.fit(
+            p.draw_initial_samples(rng, 512), n_epochs=4, batch_size=256
+        )
+
+        def run(impl):
+            sampler = PCNSMC(
+                log_likelihood=p.log_likelihood,
+                log_prior=p.log_prior,
+                dims=2,
+                prior_flow=flow,
+                parameters=p.parameters,
+                rng=jax.random.key(3),
+                mesh=mesh,
+                resampling_impl=impl,
+            )
+            samples = sampler.sample(
+                256, sampler_kwargs={"n_steps": 3}, max_n_steps=3
+            )
+            return samples, sampler.history
+
+        s_auto, h_auto = run("auto")
+        s_ring, h_ring = run("ring")
+        assert h_ring.beta == pytest.approx(h_auto.beta, rel=1e-6)
+        assert float(s_ring.log_evidence) == pytest.approx(
+            float(s_auto.log_evidence), abs=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(s_ring.x), np.asarray(s_auto.x), rtol=2e-5,
+            atol=1e-6,
+        )
