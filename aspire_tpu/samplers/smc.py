@@ -56,6 +56,18 @@ class BetaScheduleError(RuntimeError):
 
 
 @jax.jit
+def _nan_flags(log_q, log_prior, log_likelihood):
+    """One dispatch for the three init NaN guards (a remote backend
+    pays a round-trip per eager fetch; three separate ``.any()`` calls
+    cost ~120 ms of the 131k-particle pipeline)."""
+    return (
+        jnp.isnan(log_q).any(),
+        jnp.isnan(log_prior).any(),
+        jnp.isnan(log_likelihood).any(),
+    )
+
+
+@jax.jit
 def _bisect_beta(delta, beta_prev, target_eff, tol):
     """On-device bisection for the next inverse temperature.
 
@@ -1144,8 +1156,17 @@ class SMCSampler(Sampler):
         if store_sample_history:
             self.history.sample_history.append(samples.to_numpy())
 
-        for name in ("log_q", "log_prior", "log_likelihood"):
-            if bool(jnp.isnan(getattr(samples, name)).any()):
+        nan_q, nan_pi, nan_l = jax.device_get(
+            _nan_flags(
+                samples.log_q, samples.log_prior, samples.log_likelihood
+            )
+        )
+        for name, flag in (
+            ("log_q", nan_q),
+            ("log_prior", nan_pi),
+            ("log_likelihood", nan_l),
+        ):
+            if bool(flag):
                 raise ValueError(
                     f"{name.replace('_', ' ').capitalize()} contains NaN "
                     "values"

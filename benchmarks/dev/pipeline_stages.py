@@ -42,15 +42,10 @@ prof = asp.sampler.profiler
 for name, st in prof.phases.items():
     print(f"  {name:20s} {st.total_s:8.2f}s x{st.count}")
 
-# Hypothesis: per-dispatch program upload. Same executable, repeated.
-import jax.numpy as jnp
-sampler2 = asp.sampler
-z = jnp.asarray(np.random.default_rng(1).normal(size=(n, 4)), jnp.float32)
-beta_arr = jnp.asarray(0.5, jnp.float32)
-for rep in range(4):
+# Repeat warm pipelines to see call-to-call variance.
+for rep in range(3):
     t0 = time.time()
-    out = sampler2._mutate_on_device(
-        asp.flow.params, None, z, beta_arr, jax.random.key(rep), 20,
-        dict(sampler2.default_sampler_kwargs))
-    float(jnp.sum(out[0]))
-    print(f"mutate dispatch {rep}: {time.time()-t0:6.2f}s")
+    asp.sample_posterior(sampler="smc", n_samples=n, preconditioning="none",
+                         store_sample_history=False,
+                         sampler_kwargs=dict(n_steps=20))
+    print(f"repeat pipeline {rep}  : {time.time()-t0:6.2f}s")
