@@ -56,6 +56,15 @@ history.plot().savefig(outdir / "smc_diagnostics.png")
 history.plot_sample_history(x_axis="log_likelihood").savefig(
     outdir / "smc_sample_history.png"
 )
+# Mutation-quality diagnostics recorded for every mutation (ladder
+# iterations + the final n_final_samples mutation): the online
+# integrated-autocorrelation-time estimate and the independent-lineage
+# fraction that inflates the evidence error bar.
+assert len(history.mcmc_autocorr) >= len(history.beta) > 0
+history.plot_mcmc_autocorr().savefig(outdir / "smc_mcmc_autocorr.png")
+history.plot_lineage_fraction().savefig(
+    outdir / "smc_lineage_fraction.png"
+)
 
 with AspireFile(outdir / "aspire_smc_results.h5", "w") as f:
     aspire.save_config(f, "aspire_config")
