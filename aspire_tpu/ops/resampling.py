@@ -127,14 +127,28 @@ _SCHEMES = {
 #      redistribution lower bound.
 
 
+_RING_CACHE: dict = {}
+
+
 def ring_resample_matrix(key, log_w, data, mesh, axis_name: str = "data",
                          method: str = "systematic"):
     """Resample a row-sharded ``(n, cols)`` matrix on a 1-D mesh.
 
     ``log_w`` must carry the same ``P(axis_name)`` sharding as ``data``.
     Returns the resampled matrix with the input sharding, bit-identical
-    to ``data[get_resampler(method)(key, log_w, n)]``.
+    to ``data[get_resampler(method)(key, log_w, n)]``. The jitted
+    shard_map program is cached per (mesh, axis, method) so repeated
+    SMC iterations hit the compile cache instead of re-tracing.
     """
+    cache_key = (mesh, axis_name, method)
+    cached = _RING_CACHE.get(cache_key)
+    if cached is None:
+        cached = _build_ring_resampler(mesh, axis_name, method)
+        _RING_CACHE[cache_key] = cached
+    return cached(key, log_w, data)
+
+
+def _build_ring_resampler(mesh, axis_name: str, method: str):
     from jax.sharding import NamedSharding, PartitionSpec as P
     from jax.experimental.shard_map import shard_map
 
@@ -179,7 +193,7 @@ def ring_resample_matrix(key, log_w, data, mesh, axis_name: str = "data",
         ),
         in_shardings=(NamedSharding(mesh, P()), sharded, sharded),
         out_shardings=sharded,
-    )(key, log_w, data)
+    )
 
 
 def get_resampler(name: str):

@@ -134,7 +134,11 @@ def plot_comparison(
         zip(samples, per_samples_kwargs)
     ):
         options = {"bins": 30, "density": True, **kwargs, **overrides}
-        color = options.pop("color", f"C{index}")
+        # Colors are per-set: only a per_samples_kwargs entry overrides
+        # the cycle default (a shared top-level color would make the
+        # overlays indistinguishable).
+        options.pop("color", None)
+        color = overrides.get("color", f"C{index}")
         colors.append(color)
         options["hist_kwargs"] = {
             # Normalized marginals so sets of different sizes overlay

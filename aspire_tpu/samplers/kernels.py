@@ -45,10 +45,16 @@ class ChainState(NamedTuple):
 
 
 def _count_evals(state: ChainState, amount) -> jax.Array | None:
-    """Accumulate into the eval counter when tracking is on."""
+    """Accumulate into the eval counter when tracking is on.
+
+    Cast to the carry dtype: under x64 a promoted int64 amount would
+    otherwise change the scan carry type mid-loop.
+    """
     if state.n_evals is None:
         return None
-    return state.n_evals + amount
+    return state.n_evals + jnp.asarray(amount).astype(
+        state.n_evals.dtype
+    )
 
 
 class GaussianReference(NamedTuple):
@@ -763,19 +769,27 @@ def run_chain(
         final, chain = jax.lax.scan(body, state, None, length=n_steps)
         return final, chain
 
+    # Moments are accumulated on per-walker DEVIATIONS from the start
+    # position: uncentered f32 sums (E[x^2] - mean^2) cancel
+    # catastrophically when |mean| >> std (e.g. a coordinate near 30
+    # with sigma 0.01), which would corrupt tau/mixing and with them
+    # the lineage-based evidence-error inflation. Deviations stay
+    # O(step * n_steps), which f32 handles.
     x0 = state.x
-    init = (state, x0, x0, jnp.square(x0), jnp.zeros_like(x0))
+    zeros = jnp.zeros_like(x0)
+    init = (state, zeros, zeros, zeros, zeros)
 
     def body(carry, _):
-        st, prev_x, s1, s2, c1 = carry
+        st, prev_d, s1, s2, c1 = carry
         new = step_fn(st)
         out = new.x if store_chain else None
+        delta = new.x - x0
         carry = (
             new,
-            new.x,
-            s1 + new.x,
-            s2 + jnp.square(new.x),
-            c1 + new.x * prev_x,
+            delta,
+            s1 + delta,
+            s2 + jnp.square(delta),
+            c1 + delta * prev_d,
         )
         return carry, out
 
@@ -784,27 +798,35 @@ def run_chain(
     )
     stats = ChainStats(
         tau=lag1_autocorr_time(s1, s2, c1, n_steps),
-        mixing=chain_mixing_ratio(s1, s2, n_steps),
+        mixing=chain_mixing_ratio(x0, s1, s2, n_steps),
     )
     return final, chain, stats
 
 
-def chain_mixing_ratio(s1, s2, n_steps: int):
+def chain_mixing_ratio(x0, s1, s2, n_steps: int):
     """Worst-dimension within/pooled variance ratio, in [0, 1].
 
-    ``s1``/``s2`` are per-walker sums of x and x^2 over the
-    ``n_steps + 1`` chain points, shaped ``(n_walkers, d)``. For a
-    kernel whose chains traverse the whole target, each walker's
-    variance matches the population's (ratio ~ 1); for one trapped in
-    a subset (a mode), within-chain variance misses the between-mode
-    spread and the ratio drops toward within/(within + between).
+    ``x0`` are the chain start positions; ``s1``/``s2`` are per-walker
+    sums of the deviations ``x_t - x_0`` and their squares over the
+    ``n_steps + 1`` points, shaped ``(n_walkers, d)``. For a kernel
+    whose chains traverse the whole target, each walker's variance
+    matches the population's (ratio ~ 1); for one trapped in a subset
+    (a mode), within-chain variance misses the between-mode spread and
+    the ratio drops toward within/(within + between). Between-walker
+    variance is computed center-then-square (no uncentered-moment
+    cancellation).
     """
     m = n_steps + 1
-    mean_w = s1 / m  # (n, d) per-walker means
-    within = jnp.mean(s2 / m - jnp.square(mean_w), axis=0)  # (d,)
-    pooled = jnp.mean(s2, axis=0) / m - jnp.square(
-        jnp.mean(mean_w, axis=0)
+    dev_mean = s1 / m  # (n, d) per-walker deviation means
+    within = jnp.mean(
+        s2 / m - jnp.square(dev_mean), axis=0
+    )  # (d,)
+    walker_means = x0 + dev_mean
+    grand = jnp.mean(walker_means, axis=0)
+    between = jnp.mean(
+        jnp.square(walker_means - grand), axis=0
     )
+    pooled = within + between
     ratio = jnp.where(
         pooled > 1e-12, within / jnp.maximum(pooled, 1e-12), 1.0
     )
@@ -814,9 +836,12 @@ def chain_mixing_ratio(s1, s2, n_steps: int):
 def lag1_autocorr_time(s1, s2, c1, n_steps: int):
     """IAT from per-walker lag-1 autocorrelation (AR(1) formula).
 
-    ``s1``/``s2`` are sums of x and x^2 over the ``n_steps + 1`` chain
-    points (including the start), ``c1`` the sum of the ``n_steps``
-    lag-1 products, all shaped ``(n_walkers, d)``. The per-dimension
+    ``s1``/``s2`` are sums of the per-walker deviations ``x_t - x_0``
+    and their squares over the ``n_steps + 1`` chain points (the start
+    contributes zeros), ``c1`` the sum of the ``n_steps`` lag-1
+    deviation products, all shaped ``(n_walkers, d)`` — variances and
+    covariances are shift-invariant, and deviations keep the f32 sums
+    catastrophe-free for far-from-origin walkers. The per-dimension
     walker-averaged lag-1 correlation ``rho`` gives
     ``tau = (1 + rho) / (1 - rho)`` — exact for an AR(1) chain, a
     cheap online surrogate for the windowed Sokal estimate used on

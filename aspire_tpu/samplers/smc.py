@@ -457,8 +457,10 @@ class SMCSampler(Sampler):
                 kwargs,
                 ref,
             )
-        # Count likelihood evaluations done inside the chain.
-        self.n_likelihood_evaluations += n_steps * z.shape[0]
+        # Chain evaluations + the seeding log_prob_fn(z) call (the
+        # post-chain refresh is auto-counted by evaluate_*), matching
+        # the jitted path's (n_steps + 2) * n for fixed-cost kernels.
+        self.n_likelihood_evaluations += (n_steps + 1) * z.shape[0]
 
         with self.profiler.phase("mutate/sync"):
             acceptance = float(
@@ -529,7 +531,7 @@ class SMCSampler(Sampler):
                     step_size=step0.astype(z.dtype),
                     n_accept=jnp.zeros(z.shape[0], dtype=z.dtype),
                     grad=grad,
-                    n_evals=jnp.zeros((), jnp.float32),
+                    n_evals=jnp.zeros((), jnp.int32),
                 )
                 final, _, stats = K.run_chain(
                     step_fn, state, n_steps, track_autocorr=True
@@ -551,7 +553,7 @@ class SMCSampler(Sampler):
                 )
                 # Initial density eval + chain evals (exact, even for
                 # data-dependent NUTS trees) + post-chain refresh.
-                total_evals = final.n_evals + 2.0 * z.shape[0]
+                total_evals = final.n_evals + 2 * z.shape[0]
                 return (
                     x,
                     log_q,
@@ -594,6 +596,7 @@ class SMCSampler(Sampler):
         beta_tolerance: float,
         max_iters: int,
         checkpoint_callback=None,
+        checkpoint_every: int | None = 1,
     ) -> tuple[SMCSamples, int]:
         """Run the whole adaptive ladder as ONE compiled while_loop.
 
@@ -638,6 +641,7 @@ class SMCSampler(Sampler):
             )
             checkpoint_callback = None
         self._ladder_checkpoint_sink = checkpoint_callback
+        self._ladder_checkpoint_every = checkpoint_every
         self._ladder_history_base = copy.deepcopy(self.history)
         self._ladder_base_iteration = len(self.history.beta)
         self._ladder_base_evals = self.n_likelihood_evaluations
@@ -685,7 +689,7 @@ class SMCSampler(Sampler):
                 out["tau_h"],
                 out["lin_h"],
                 out["f_lin"],
-                out["evals"],
+                out["ev_h"],
             )
         )
         (
@@ -701,7 +705,7 @@ class SMCSampler(Sampler):
             tau_h,
             lin_h,
             f_lin,
-            ladder_evals,
+            ev_h,
         ) = scalars
         ladder_phase.__exit__(None, None, None)
         self._lineage_fraction = float(f_lin)
@@ -735,7 +739,9 @@ class SMCSampler(Sampler):
                 float(ess_h[i]) / n,
                 float(ratio_h[i]),
             )
-        self.n_likelihood_evaluations += int(ladder_evals)
+        self.n_likelihood_evaluations += int(
+            sum(int(v) for v in ev_h[:it])
+        )
         self.profiler.add("particle_steps", it * n_steps * n)
 
         new = SMCSamples(
@@ -753,6 +759,7 @@ class SMCSampler(Sampler):
     def _ladder_checkpoint_host(
         self, x, ll, lpi, lq, beta, it, key_data, f_lin,
         beta_h, ess_h, ess1_h, ratio_h, var_h, acc_h, tau_h, lin_h,
+        ev_h,
     ) -> None:
         """Host side of the device ladder's per-iteration checkpoint.
 
@@ -765,6 +772,9 @@ class SMCSampler(Sampler):
         if sink is None:
             return
         it = int(it)
+        every = getattr(self, "_ladder_checkpoint_every", 1) or 1
+        if (self._ladder_base_iteration + it) % every != 0:
+            return  # honor checkpoint_every (host-side cadence filter)
         history = copy.deepcopy(self._ladder_history_base)
         for i in range(it):
             history.beta.append(float(beta_h[i]))
@@ -797,7 +807,7 @@ class SMCSampler(Sampler):
             "meta": {"beta": float(beta)},
             "key": np.asarray(key_data),
             "n_likelihood_evaluations": self._ladder_base_evals
-            + it * (self._ladder_n_steps + 1) * n,
+            + int(sum(int(v) for v in np.asarray(ev_h)[:it])),
             "history": history,
             "sampler_kwargs": self.sampler_kwargs,
             "lineage_fraction": float(f_lin),
@@ -874,7 +884,9 @@ class SMCSampler(Sampler):
                 # ladder's _update_lineage_* for the recursion);
                 # resumes carry the checkpointed value in.
                 "f_lin": f_lin0.astype(dtype),
-                "evals": jnp.zeros((), jnp.float32),
+                # per-iteration exact eval counts; summed on host in
+                # python ints so totals never lose integer exactness
+                "ev_h": jnp.zeros((max_iters,), jnp.int32),
             }
 
             def cond(s):
@@ -945,7 +957,7 @@ class SMCSampler(Sampler):
                     step_size=step0,
                     n_accept=jnp.zeros(n, dtype=dtype),
                     grad=grad0,
-                    n_evals=jnp.zeros((), jnp.float32),
+                    n_evals=jnp.zeros((), jnp.int32),
                 )
                 final, _, cstats = K.run_chain(
                     step_fn, chain0, n_steps, track_autocorr=True
@@ -996,7 +1008,9 @@ class SMCSampler(Sampler):
                     "tau_h": s["tau_h"].at[i].set(tau.astype(dtype)),
                     "lin_h": s["lin_h"].at[i].set(s["f_lin"]),
                     "f_lin": f_lin.astype(dtype),
-                    "evals": s["evals"] + final.n_evals + 2.0 * n,
+                    "ev_h": s["ev_h"].at[i].set(
+                        final.n_evals + 2 * n
+                    ),
                 }
                 if with_checkpoint:
                     # Post the mutated population + history buffers to
@@ -1021,6 +1035,7 @@ class SMCSampler(Sampler):
                         new_state["acc_h"],
                         new_state["tau_h"],
                         new_state["lin_h"],
+                        new_state["ev_h"],
                         ordered=True,
                     )
                 return new_state
@@ -1054,17 +1069,20 @@ class SMCSampler(Sampler):
             n_accept=jnp.zeros(z.shape[0], dtype=z.dtype),
             grad=None,
         )
-        # Same online lag-1 IAT stats the jitted path tracks in-scan.
-        prev_x, s1, s2, c1 = z, z, jnp.square(z), jnp.zeros_like(z)
+        # Same online deviation-based stats the jitted path tracks
+        # in-scan (see run_chain: uncentered f32 moments cancel).
+        zeros = jnp.zeros_like(z)
+        prev_d, s1, s2, c1 = zeros, zeros, zeros, zeros
         for _ in range(n_steps):
             state = step_fn(state)
-            s1 = s1 + state.x
-            s2 = s2 + jnp.square(state.x)
-            c1 = c1 + state.x * prev_x
-            prev_x = state.x
+            delta = state.x - z
+            s1 = s1 + delta
+            s2 = s2 + jnp.square(delta)
+            c1 = c1 + delta * prev_d
+            prev_d = delta
         stats = K.ChainStats(
             tau=K.lag1_autocorr_time(s1, s2, c1, n_steps),
-            mixing=K.chain_mixing_ratio(s1, s2, n_steps),
+            mixing=K.chain_mixing_ratio(z, s1, s2, n_steps),
         )
         return state, stats
 
@@ -1263,14 +1281,17 @@ class SMCSampler(Sampler):
             )
 
         if run_smc_loop and device_ladder:
-            samples, iterations = self._run_device_ladder(
+            samples, ladder_iters = self._run_device_ladder(
                 samples,
                 min_beta_step=min_beta_step,
                 max_beta_step=max_beta_step,
                 beta_tolerance=beta_tolerance,
                 max_iters=max_n_steps or 256,
                 checkpoint_callback=checkpoint_callback,
+                checkpoint_every=checkpoint_every,
             )
+            # Resumed runs keep counting from the restored iteration.
+            iterations += ladder_iters
             beta = samples.beta
             if beta < 1.0 and max_n_steps is None:
                 # The compiled ladder is iteration-bounded by its

@@ -249,6 +249,31 @@ class TestAutocorrTracking:
         assert float(stats.mixing) == pytest.approx(1.0, abs=0.1)
 
 
+    def test_far_from_origin_walkers_keep_accurate_stats(self, key):
+        """Uncentered f32 moments cancel catastrophically for walkers
+        far from the origin; the deviation-based accumulation must
+        report the same diagnostics regardless of a large offset."""
+        rho = 0.6
+        offset = 4096.0  # mean/std ~ 4e3: uncentered f32 var is garbage
+
+        def ar1_step(state):
+            k, sub = jax.random.split(state.key)
+            noise = jax.random.normal(sub, state.x.shape)
+            x = offset + rho * (state.x - offset) + jnp.sqrt(
+                1 - rho**2
+            ) * noise
+            return state._replace(x=x, key=k)
+
+        state = init_state(key, n=256)
+        state = state._replace(x=state.x + offset)
+        _, _, stats = jax.jit(
+            lambda s: K.run_chain(ar1_step, s, 1500, track_autocorr=True)
+        )(state)
+        expected = (1 + rho) / (1 - rho)  # = 4.0
+        assert float(stats.tau) == pytest.approx(expected, rel=0.2)
+        assert float(stats.mixing) == pytest.approx(1.0, abs=0.1)
+
+
 class TestGaussianReference:
     def test_fit(self, key):
         x = (
