@@ -364,7 +364,11 @@ class SMCSampler(Sampler):
         raise NotImplementedError
 
     def mutate(
-        self, samples: SMCSamples, beta: float, n_steps: int | None = None
+        self,
+        samples: SMCSamples,
+        beta: float,
+        n_steps: int | None = None,
+        waste_free: bool | None = None,
     ) -> SMCSamples:
         """Run the mutation kernel; re-evaluate densities at the end.
 
@@ -375,6 +379,8 @@ class SMCSampler(Sampler):
         kwargs = dict(self.default_sampler_kwargs)
         kwargs.update(self.sampler_kwargs or {})
         n_steps = int(n_steps or kwargs.get("n_steps") or 5 * self.dims)
+        if waste_free is None:
+            waste_free = bool(kwargs.get("waste_free", False))
 
         with self.profiler.phase("mutate/fit_precond"):
             z = self.fit_preconditioning_transform(samples.x)
@@ -413,6 +419,7 @@ class SMCSampler(Sampler):
                     n_steps,
                     kwargs,
                     self._step_size_carry,
+                    waste_free=waste_free,
                 )
             self._step_size_carry = step_carry
             with self.profiler.phase("mutate/sync"):
@@ -426,6 +433,7 @@ class SMCSampler(Sampler):
             self.history.mcmc_acceptance.append(float(acceptance))
             self.history.mcmc_autocorr.append(float(tau))
             self._last_chain_stats = (float(tau), float(mixing))
+            self._last_waste_free = waste_free
             new = SMCSamples(
                 x=x,
                 beta=beta,
@@ -444,6 +452,10 @@ class SMCSampler(Sampler):
                 )
             return new
 
+        if waste_free:
+            raise ValueError(
+                "waste_free mutation requires a jit-traceable target."
+            )
         with self.profiler.phase("mutate/fit_reference"):
             ref = K.fit_gaussian_reference(z)
         with self.profiler.phase("mutate/chain"):
@@ -471,6 +483,7 @@ class SMCSampler(Sampler):
         self._last_chain_stats = (
             float(chain_stats.tau), float(chain_stats.mixing)
         )
+        self._last_waste_free = False
 
         x, _ = self.invert_preconditioning(final_state.x)
         new = SMCSamples(
@@ -488,15 +501,24 @@ class SMCSampler(Sampler):
 
     def _mutate_on_device(
         self, flow_state, precond, z, beta, key, n_steps, kwargs,
-        step_size_carry=None,
+        step_size_carry=None, waste_free: bool = False,
     ):
-        """Fully jitted mutation: one XLA computation for the whole chain."""
+        """Fully jitted mutation: one XLA computation for the whole chain.
+
+        ``waste_free=True`` implements Dau & Chopin (2020) waste-free
+        SMC: the caller resamples only M = n/k ancestors and EVERY
+        state of each k-step chain joins the next population, so the
+        mutation costs k-fold fewer target evaluations for the same
+        output population size (the pooled states are within-chain
+        correlated — the lineage tracker accounts for that).
+        """
         use_carry = step_size_carry is not None
         cache_key = (
             n_steps,
             tuple(sorted(kwargs.items())),
             precond is None,
             use_carry,
+            waste_free,
         )
         if cache_key not in self._mutate_cache:
             tempered = self.make_tempered_log_prob()
@@ -507,11 +529,12 @@ class SMCSampler(Sampler):
             make_view = self._make_view
 
             @partial(
-                jax.jit, static_argnames=("n_steps", "use_carry")
+                jax.jit,
+                static_argnames=("n_steps", "use_carry", "waste_free"),
             )
             def mutate_fn(
                 flow_state, precond, z, beta, key, step0, n_steps,
-                use_carry,
+                use_carry, waste_free,
             ):
                 log_prob_fn = lambda zz: tempered(  # noqa: E731
                     flow_state, precond, zz, beta
@@ -533,15 +556,22 @@ class SMCSampler(Sampler):
                     grad=grad,
                     n_evals=jnp.zeros((), jnp.int32),
                 )
-                final, _, stats = K.run_chain(
-                    step_fn, state, n_steps, track_autocorr=True
+                final, chain, stats = K.run_chain(
+                    step_fn, state, n_steps,
+                    store_chain=waste_free,
+                    track_autocorr=True,
                 )
+                if waste_free:
+                    # Pool every chain state: (k, M, d) -> (k*M, d).
+                    z_out = chain.reshape(-1, z.shape[1])
+                else:
+                    z_out = final.x
                 # Post-chain density refresh fused into the same program
                 # (one dispatch per mutation, not two).
                 if precond is None:
-                    x = final.x
+                    x = z_out
                 else:
-                    x, _ = precond.inverse(final.x)
+                    x, _ = precond.inverse(z_out)
                 log_q = flow_log_prob(flow_state, x)
                 view = make_view(x)
                 log_pi = jnp.asarray(log_prior(view)).reshape(-1)
@@ -552,8 +582,11 @@ class SMCSampler(Sampler):
                     jnp.isnan(log_pi).any() | jnp.isnan(log_l).any()
                 )
                 # Initial density eval + chain evals (exact, even for
-                # data-dependent NUTS trees) + post-chain refresh.
-                total_evals = final.n_evals + 2 * z.shape[0]
+                # data-dependent NUTS trees) + post-chain refresh over
+                # the output population.
+                total_evals = (
+                    final.n_evals + z.shape[0] + x.shape[0]
+                )
                 return (
                     x,
                     log_q,
@@ -583,6 +616,7 @@ class SMCSampler(Sampler):
             step0,
             n_steps=n_steps,
             use_carry=use_carry,
+            waste_free=waste_free,
         )
 
     # -- fully on-device ladder ----------------------------------------------
@@ -1157,6 +1191,20 @@ class SMCSampler(Sampler):
             samples.log_prior = self.shard_array(samples.log_prior)
             samples.log_likelihood = self.shard_array(samples.log_likelihood)
 
+        waste_free = bool(self.sampler_kwargs.get("waste_free", False))
+        if waste_free:
+            if self.mesh is not None:
+                raise ValueError(
+                    "waste_free SMC is not supported on a sharded mesh "
+                    "yet (the ancestor count M = n/k does not tile the "
+                    "particle sharding)."
+                )
+            if not self.target_is_jittable():
+                raise ValueError(
+                    "waste_free SMC requires a jit-traceable target "
+                    "(the pooled chain states are gathered in-program)."
+                )
+
         multiprocess = jax.process_count() > 1
         if store_sample_history is None:
             # Per-iteration sample snapshots are a device->host transfer
@@ -1258,6 +1306,8 @@ class SMCSampler(Sampler):
                 # The hand-rolled ring collective is wired into the
                 # host ladder only; honor the user's explicit choice.
                 and self.resampling_impl == "auto"
+                # Waste-free pooling is a host-ladder feature.
+                and not waste_free
                 # In-loop io_callback checkpoints cannot run on a
                 # multi-controller mesh; keep the host ladder so
                 # per-iteration checkpoints still happen.
@@ -1391,14 +1441,32 @@ class SMCSampler(Sampler):
                 )
 
                 with self.profiler.phase("resample"):
-                    samples = samples.resample(
-                        beta,
-                        key=self.next_key(),
-                        method=self.resampling_method,
-                        impl=self.resampling_impl
-                        if self.mesh is not None
-                        else "auto",
-                    )
+                    if waste_free:
+                        # Waste-free SMC (Dau & Chopin 2020): resample
+                        # only M = n/k ancestors; the mutation pools
+                        # every state of the k-step chains back to a
+                        # full-size population at k-fold fewer target
+                        # evaluations.
+                        k = int(
+                            self.sampler_kwargs.get("n_steps")
+                            or 5 * self.dims
+                        )
+                        n_ancestors = max(len(samples) // k, 1)
+                        samples = samples.resample(
+                            beta,
+                            n_samples=n_ancestors,
+                            key=self.next_key(),
+                            method=self.resampling_method,
+                        )
+                    else:
+                        samples = samples.resample(
+                            beta,
+                            key=self.next_key(),
+                            method=self.resampling_method,
+                            impl=self.resampling_impl
+                            if self.mesh is not None
+                            else "auto",
+                        )
                 self._update_lineage_after_resample(ess, len(samples))
                 with self.profiler.phase("mutate"):
                     samples = self.mutate(samples, beta)
@@ -1429,7 +1497,9 @@ class SMCSampler(Sampler):
                 key=self.next_key(),
                 method=self.resampling_method,
             )
-            samples = self.mutate(final, 1.0, n_steps=n_final_steps)
+            samples = self.mutate(
+                final, 1.0, n_steps=n_final_steps, waste_free=False
+            )
 
         samples.log_evidence = float(np.sum(self.history.log_norm_ratio))
         samples.log_evidence_error = float(
@@ -1523,6 +1593,13 @@ class SMCSampler(Sampler):
         self._lineage_fraction += (
             1.0 - self._lineage_fraction
         ) * recovered
+        if getattr(self, "_last_waste_free", False):
+            # Waste-free pooling keeps every chain state: the pooled
+            # population holds at most ~k/tau effectively independent
+            # draws per ancestor chain.
+            self._lineage_fraction /= max(
+                min(float(self.history.mcmc_autocorr[-1]), k), 1.0
+            )
 
     def restore_smc_checkpoint(
         self, source

@@ -420,3 +420,55 @@ def test_nuts_counts_true_leapfrog_evals(fitted_aspire):
     # NUTS trajectories average many leapfrogs per step: the counter
     # must be well above the per-step-single-eval floor tpCN has.
     assert nuts_evals > 2 * tpcn_evals
+
+
+class TestWasteFreeSMC:
+    """Waste-free SMC (Dau & Chopin 2020): resample M = n/k ancestors,
+    pool every state of the k-step chains — same population size and
+    statistical quality at ~k-fold fewer likelihood evaluations."""
+
+    def test_matches_standard_at_fraction_of_evals(self, fitted_aspire):
+        std = fitted_aspire.sample_posterior(
+            n_samples=512, sampler="smc",
+            sampler_kwargs={"n_steps": 16},
+        )
+        std_evals = fitted_aspire.sampler.n_likelihood_evaluations
+        wf = fitted_aspire.sample_posterior(
+            n_samples=512, sampler="smc",
+            sampler_kwargs={"n_steps": 16, "waste_free": True},
+        )
+        wf_evals = fitted_aspire.sampler.n_likelihood_evaluations
+        assert len(wf) == len(std) == 512
+        assert float(wf.log_evidence) == pytest.approx(
+            TRUE_LOG_Z, abs=0.5
+        )
+        np.testing.assert_allclose(
+            np.asarray(wf.x).mean(0), 1.0, atol=0.3
+        )
+        # The whole point: far fewer target evaluations.
+        assert wf_evals < 0.4 * std_evals
+
+    def test_population_is_pool_of_chain_states(self, fitted_aspire):
+        wf, hist = fitted_aspire.sample_posterior(
+            n_samples=300, sampler="smc",
+            sampler_kwargs={"n_steps": 10, "waste_free": True},
+            return_history=True,
+        )
+        # n // k = 30 ancestors, pooled back to 30 * 10 = 300.
+        assert len(wf) == 300
+        assert hist.beta[-1] == 1.0
+
+    def test_rejects_non_jittable_targets(self, initial_samples):
+        asp = Aspire(
+            log_likelihood=host_log_likelihood,
+            log_prior=log_prior,
+            dims=DIMS,
+            prior_bounds={f"x_{i}": [-10, 10] for i in range(DIMS)},
+            seed=0,
+        )
+        asp.fit(initial_samples, n_epochs=5, batch_size=256)
+        with pytest.raises(ValueError, match="jit-traceable"):
+            asp.sample_posterior(
+                n_samples=100, sampler="smc",
+                sampler_kwargs={"n_steps": 5, "waste_free": True},
+            )
