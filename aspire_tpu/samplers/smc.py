@@ -1440,6 +1440,7 @@ class SMCSampler(Sampler):
                     self._lineage_fraction,
                 )
 
+                n_before_resample = len(samples)
                 with self.profiler.phase("resample"):
                     if waste_free:
                         # Waste-free SMC (Dau & Chopin 2020): resample
@@ -1467,7 +1468,9 @@ class SMCSampler(Sampler):
                             if self.mesh is not None
                             else "auto",
                         )
-                self._update_lineage_after_resample(ess, len(samples))
+                self._update_lineage_after_resample(
+                    ess, n_before_resample
+                )
                 with self.profiler.phase("mutate"):
                     samples = self.mutate(samples, beta)
                 self._update_lineage_after_mutation()
@@ -1573,8 +1576,14 @@ class SMCSampler(Sampler):
     # mala_smc@10-step underestimate).
 
     def _update_lineage_after_resample(self, ess: float, n: int) -> None:
-        self._lineage_fraction = max(
-            self._lineage_fraction * max(ess, 1.0) / n, 1.0 / n
+        """``n`` is the PRE-resample population size (the ESS is
+        measured on it); the fraction is capped at 1 — a waste-free
+        step resamples M < n ancestors, where ess/M could exceed 1."""
+        self._lineage_fraction = min(
+            max(
+                self._lineage_fraction * max(ess, 1.0) / n, 1.0 / n
+            ),
+            1.0,
         )
 
     def _update_lineage_after_mutation(self) -> None:
