@@ -13,15 +13,14 @@ from __future__ import annotations
 
 import copy
 import logging
-import pickle
 from contextlib import contextmanager
 from inspect import signature
-from pathlib import Path
 from typing import Any, Callable
 
+from .checkpointing import CheckpointPolicy, ResumeState, open_run_file
 from .flows import Flow, default_architecture_for_backend, get_flow_class
 from .history import FlowHistory
-from .io import AspireFile, load_dict_from_hdf5, save_dict_to_hdf5
+from .io import AspireFile, save_dict_to_hdf5
 from .samples import Samples
 from .samplers import get_sampler_class as _registry_get_sampler_class
 from .transforms import (
@@ -109,6 +108,14 @@ class Aspire:
 
         self._flow = flow
         self._sampler = None
+        self._sampler_sig = None
+        # Context-scoped run-file state: a write policy for the current
+        # checkpoint file (if any) and a primed continuation. Both are
+        # plain slots swapped wholesale by ``auto_checkpoint`` — never
+        # ad-hoc attributes.
+        self._checkpoints: CheckpointPolicy | None = None
+        self._resume: ResumeState | None = None
+        self._skip_fit = False
 
     # -- properties ---------------------------------------------------------
 
@@ -206,7 +213,7 @@ class Aspire:
 
         if self.flow is None:
             self.init_flow()
-        elif getattr(self, "_skip_flow_training", False) and not overwrite:
+        elif self._skip_fit and not overwrite:
             logger.info(
                 "Skipping flow training because a checkpointed flow was "
                 "loaded."
@@ -218,23 +225,22 @@ class Aspire:
         logger.info("Training with %d samples", len(x))
         history = self.flow.fit(x, **kwargs)
 
-        defaults = getattr(self, "_checkpoint_defaults", None)
-        if checkpoint_path is None and defaults:
-            checkpoint_path = defaults["path"]
-            checkpoint_save_config = defaults["save_config"]
-        saved_config = (
-            defaults.get("saved_config", False) if defaults else False
-        )
+        policy = self._checkpoints
+        if checkpoint_path is None and policy is not None:
+            checkpoint_path = policy.path
+            checkpoint_save_config = policy.owes("config")
         if checkpoint_path is not None:
             with AspireFile(checkpoint_path, "a") as h5_file:
-                if checkpoint_save_config and not saved_config:
+                if checkpoint_save_config:
                     self.save_config(h5_file, "aspire_config")
-                    if defaults is not None:
-                        defaults["saved_config"] = True
+                    if policy is not None:
+                        policy.settle("config")
                 if "flow" in h5_file and overwrite:
                     del h5_file["flow"]
                 if "flow" not in h5_file:
                     self.save_flow(h5_file)
+                    if policy is not None:
+                        policy.settle("flow")
         return history
 
     def sample_flow(self, n_samples: int = 1) -> Samples:
@@ -345,24 +351,17 @@ class Aspire:
         **kwargs: Any,
     ):
         """Draw posterior samples (reference aspire.py:383-570)."""
-        if (
-            sampler == "importance"
-            and getattr(self, "_resume_sampler_type", None)
-        ):
-            sampler = self._resume_sampler_type
-
-        if "resume_from" not in kwargs and hasattr(
-            self, "_resume_from_default"
-        ):
-            kwargs["resume_from"] = self._resume_from_default
-            if hasattr(self, "_resume_overrides"):
-                kwargs.update(self._resume_overrides)
-            if (
-                hasattr(self, "_resume_n_samples")
-                and self._resume_n_samples is not None
-                and n_samples == 1000
-            ):
-                n_samples = self._resume_n_samples
+        resume = self._resume
+        if resume is not None:
+            if sampler == "importance" and resume.sampler_type:
+                # The default sampler argument yields to the sampler the
+                # interrupted run actually used.
+                sampler = resume.sampler_type
+            if "resume_from" not in kwargs:
+                kwargs["resume_from"] = resume.state
+                kwargs.update(resume.sample_overrides)
+                if resume.n_samples is not None and n_samples == 1000:
+                    n_samples = resume.n_samples
 
         SamplerClass = self.get_sampler_class(sampler)
         # Collect ctor params across the MRO: subclasses forward through
@@ -433,15 +432,11 @@ class Aspire:
                 self._sampler.key = _as_key(self.seed + 1)
         self._last_sampler_type = sampler
 
-        defaults = getattr(self, "_checkpoint_defaults", None)
-        if checkpoint_path is None and defaults:
-            checkpoint_path = defaults["path"]
-            checkpoint_every = defaults["every"]
-            checkpoint_save_config = defaults["save_config"]
-        saved_flow = defaults.get("saved_flow", False) if defaults else False
-        saved_config = (
-            defaults.get("saved_config", False) if defaults else False
-        )
+        policy = self._checkpoints
+        if checkpoint_path is None and policy is not None:
+            checkpoint_path = policy.path
+            checkpoint_every = policy.every
+            checkpoint_save_config = policy.owes("config")
         if checkpoint_path is not None:
             sample_params = signature(self._sampler.sample).parameters
             if not {"checkpoint_file_path", "checkpoint_every"}.issubset(
@@ -455,16 +450,16 @@ class Aspire:
             else:
                 kwargs.setdefault("checkpoint_file_path", checkpoint_path)
                 kwargs.setdefault("checkpoint_every", checkpoint_every)
-            with AspireFile(checkpoint_path, "a") as h5_file:
-                if (
-                    self.flow is not None
-                    and not saved_flow
-                    and "flow" not in h5_file
-                ):
-                    self.save_flow(h5_file)
-                    saved_flow = True
-                    if defaults is not None:
-                        defaults["saved_flow"] = True
+            # The flow goes into the file BEFORE sampling so an
+            # interrupted run still resumes with its proposal.
+            if self.flow is not None and (
+                policy is None or policy.owes("flow")
+            ):
+                with AspireFile(checkpoint_path, "a") as h5_file:
+                    if "flow" not in h5_file:
+                        self.save_flow(h5_file)
+                    if policy is not None:
+                        policy.settle("flow")
 
         # Drop kwargs the sampler's sample() signature does not accept.
         sample_params = signature(self._sampler.sample).parameters
@@ -498,21 +493,23 @@ class Aspire:
 
         if checkpoint_path is not None:
             with AspireFile(checkpoint_path, "a") as h5_file:
-                if checkpoint_save_config and not saved_config:
+                if checkpoint_save_config:
                     self.save_config(h5_file, "aspire_config")
-                    self.save_sampler_config(
-                        h5_file, include_sample_calls="last"
-                    )
-                    if defaults is not None:
-                        defaults["saved_config"] = True
-                if (
-                    self.flow is not None
-                    and not saved_flow
-                    and "flow" not in h5_file
+                    if policy is not None:
+                        policy.settle("config")
+                # The sampler record (type + recorded sample call) is
+                # refreshed after every run so a resume always knows
+                # which sampler and n_samples to continue with — even
+                # when the aspire config itself was written earlier by
+                # ``fit``.
+                self.save_sampler_config(h5_file, include_sample_calls="last")
+                if self.flow is not None and (
+                    policy is None or policy.owes("flow")
                 ):
-                    self.save_flow(h5_file)
-                    if defaults is not None:
-                        defaults["saved_flow"] = True
+                    if "flow" not in h5_file:
+                        self.save_flow(h5_file)
+                    if policy is not None:
+                        policy.settle("flow")
 
         samples.parameters = self.parameters
         logger.info("Sampled %d samples from the posterior", len(samples))
@@ -591,7 +588,8 @@ class Aspire:
         with open(filename, "w") as f:
             json.dump(self.config_dict(), f, indent=4, default=str)
 
-    # -- resume (three modes; reference aspire.py:572-746) --------------------
+
+    # -- resume (three modes; behavior of reference aspire.py:572-746) ------
 
     @classmethod
     def resume_from_file(
@@ -607,40 +605,37 @@ class Aspire:
         config_path: str = "aspire_config",
         resume_kwargs: dict | None = None,
     ) -> "Aspire":
-        """Recreate an Aspire object from a single file and prime resume."""
-        (
-            aspire,
-            checkpoint_payload,
-            checkpoint_state,
-            sampler_config,
-            saved_sampler_type,
-            n_samples,
-        ) = cls._build_aspire_from_file(
-            file_path=file_path,
+        """Recreate an orchestrator from a run file and prime resume.
+
+        Mode 1 of the three resume modes: the stored config rebuilds the
+        ``Aspire`` object (callables are never persisted and must be
+        re-supplied), the stored flow is loaded, and — when a checkpoint
+        is present — the next ``sample_posterior()`` call continues the
+        interrupted run with the recorded sampler and ``n_samples``.
+        """
+        from .checkpointing import RunFile
+
+        run = RunFile(
+            file_path,
+            config_group=config_path,
+            flow_group=flow_path,
+            checkpoint_group=checkpoint_path,
+            state_dset=checkpoint_dset,
+        )
+        aspire = cls(
             log_likelihood=log_likelihood,
             log_prior=log_prior,
-            checkpoint_path=checkpoint_path,
-            checkpoint_dset=checkpoint_dset,
-            flow_path=flow_path,
-            config_path=config_path,
+            **run.constructor_kwargs(cls),
         )
-        aspire._set_resume_defaults(
-            checkpoint_payload=checkpoint_payload,
-            checkpoint_state=checkpoint_state,
-            sampler_config=sampler_config,
-            saved_sampler_type=saved_sampler_type,
-            n_samples=n_samples,
-            sampler=sampler,
-            resume_kwargs=resume_kwargs,
+        run.load_flow_into(aspire, required=True)
+        aspire._resume = run.resume_state(
+            sampler=sampler, overrides=resume_kwargs
         )
-        aspire._checkpoint_defaults = {
-            "path": file_path,
-            "every": 1,
-            "save_config": False,
-            "save_flow": False,
-            "saved_config": False,
-            "saved_flow": False,
-        }
+        # Future checkpoints continue into the same file; config and
+        # flow are already there, so the policy owes neither.
+        aspire._checkpoints = CheckpointPolicy(
+            path=str(file_path), config=False, flow=False
+        )
         return aspire
 
     @contextmanager
@@ -652,286 +647,33 @@ class Aspire:
         save_flow: bool = True,
         resume: bool = False,
     ):
-        """Context manager: default checkpoints + optional resume."""
-        prev = getattr(self, "_checkpoint_defaults", None)
-        self._checkpoint_defaults = {
-            "path": str(path),
-            "every": every,
-            "save_config": save_config,
-            "save_flow": save_flow,
-            "saved_config": False,
-            "saved_flow": False,
-        }
-        resume_attrs = [
-            "_resume_from_default",
-            "_resume_sampler_type",
-            "_resume_n_samples",
-            "_resume_overrides",
-            "_resume_sampler_config",
-            "_skip_flow_training",
-        ]
-        prev_resume_state = {
-            attr: getattr(self, attr)
-            for attr in resume_attrs
-            if hasattr(self, attr)
-        }
-        path = Path(path)
-        if resume and path.is_file():
-            logger.info("Resuming from checkpoint file at %s", path)
-            (
-                checkpoint_payload,
-                checkpoint_state,
-                sampler_config,
-                saved_sampler_type,
-                n_samples,
-            ) = self._load_resume_data(path)
-            requested = self._resume_n_samples_from_sampler_config(
-                sampler_config
-            )
-            if requested is not None:
-                n_samples = requested
-            self._load_flow_from_file(path, required=False)
-            self._set_resume_defaults(
-                checkpoint_payload=checkpoint_payload,
-                checkpoint_state=checkpoint_state,
-                sampler_config=sampler_config,
-                saved_sampler_type=saved_sampler_type,
-                n_samples=n_samples,
-            )
-            self._skip_flow_training = self.flow is not None
+        """Scope a checkpoint policy (and optionally a resume) to a block.
+
+        Mode 3: within the context, ``fit`` and ``sample_posterior``
+        default their checkpoint target to ``path``. With
+        ``resume=True`` and an existing file, the stored flow is loaded
+        (making ``fit`` a no-op) and the stored checkpoint primes the
+        next ``sample_posterior`` call. On exit the orchestrator's
+        previous policy/resume/fit-skip state returns untouched.
+        """
+        outer = (self._checkpoints, self._resume, self._skip_fit)
+        self._checkpoints = CheckpointPolicy(
+            path=str(path),
+            every=every,
+            config=save_config,
+            flow=save_flow,
+        )
+        if resume:
+            run = open_run_file(str(path))
+            if run is not None:
+                logger.info("Resuming run file %s", path)
+                self._resume = run.resume_state()
+                if run.config is not None:
+                    self._checkpoints.settle("config")
+                if run.load_flow_into(self, required=False):
+                    self._skip_fit = True
+                    self._checkpoints.settle("flow")
         try:
             yield self
         finally:
-            for attr in resume_attrs:
-                if attr in prev_resume_state:
-                    setattr(self, attr, prev_resume_state[attr])
-                elif hasattr(self, attr):
-                    delattr(self, attr)
-            if prev is None:
-                if hasattr(self, "_checkpoint_defaults"):
-                    delattr(self, "_checkpoint_defaults")
-            else:
-                self._checkpoint_defaults = prev
-
-    # -- resume helpers -------------------------------------------------------
-
-    @staticmethod
-    def _load_resume_data(
-        file_path,
-        checkpoint_path: str = "checkpoint",
-        checkpoint_dset: str = "state",
-        config_path: str = "aspire_config",
-        sampler_config_path: str = "sampler_config",
-    ):
-        import h5py
-
-        with h5py.File(file_path, "r") as h5_file:
-            config_dict = (
-                load_dict_from_hdf5(h5_file, config_path)
-                if config_path in h5_file
-                else None
-            )
-            standalone_sampler_config = (
-                load_dict_from_hdf5(h5_file, sampler_config_path)
-                if sampler_config_path in h5_file
-                else None
-            )
-            has_checkpoint = (
-                checkpoint_path in h5_file
-                and checkpoint_dset in h5_file[checkpoint_path]
-            )
-
-        sampler_config = None
-        saved_sampler_type = None
-        if config_dict is not None:
-            saved_sampler_type = config_dict.get("sampler_type")
-            sampler_config = config_dict.get("sampler_config")
-        if standalone_sampler_config is not None:
-            saved_sampler_type = (
-                saved_sampler_type
-                or standalone_sampler_config.get("sampler_type")
-            )
-            if sampler_config is None:
-                sampler_config = dict(standalone_sampler_config)
-                sampler_config.pop("sampler_type", None)
-
-        # Full state load reassembles the shard-wise particle arrays
-        # (aspire_tpu.io.load_sharded_array); resume then proceeds in
-        # dict mode, so the arrays are never re-pickled.
-        n_samples = None
-        checkpoint_state = None
-        if has_checkpoint:
-            try:
-                from .samplers.base import Sampler
-
-                checkpoint_state = Sampler.load_checkpoint_from_file(
-                    file_path, path=checkpoint_path
-                )
-                saved = checkpoint_state.get("samples")
-                if saved is not None:
-                    n_samples = len(saved)
-            except Exception:
-                logger.warning(
-                    "Failed to decode checkpoint; proceeding without "
-                    "resume state."
-                )
-        else:
-            logger.warning(
-                "Checkpoint not found at %s/%s in %s; will resume "
-                "without a checkpoint.",
-                checkpoint_path,
-                checkpoint_dset,
-                file_path,
-            )
-        return (
-            checkpoint_state,
-            checkpoint_state,
-            sampler_config,
-            saved_sampler_type,
-            n_samples,
-        )
-
-    def _set_resume_defaults(
-        self,
-        *,
-        checkpoint_payload,
-        checkpoint_state,
-        sampler_config,
-        saved_sampler_type,
-        n_samples,
-        sampler: str | None = None,
-        resume_kwargs: dict | None = None,
-    ) -> None:
-        if checkpoint_payload is None:
-            return
-        sampler_config = sampler_config or {}
-        sampler_config.pop("sampler_class", None)
-        self._resume_from_default = checkpoint_payload
-        self._resume_sampler_type = (
-            sampler
-            or saved_sampler_type
-            or (checkpoint_state.get("sampler") if checkpoint_state else None)
-        )
-        self._resume_n_samples = n_samples
-        self._resume_overrides = resume_kwargs or {}
-        self._resume_sampler_config = sampler_config
-
-    @staticmethod
-    def _resume_n_samples_from_sampler_config(sampler_config) -> int | None:
-        if not isinstance(sampler_config, dict):
-            return None
-        sample_calls = sampler_config.get("sample_calls")
-        if not isinstance(sample_calls, dict):
-            return None
-        sample_args = sample_calls.get("args")
-        if hasattr(sample_args, "__len__") and not isinstance(
-            sample_args, (str, bytes, dict)
-        ):
-            if len(sample_args) == 0:
-                sample_args = None
-        else:
-            sample_args = None
-        if sample_args is not None:
-            try:
-                return int(sample_args[0])
-            except (TypeError, ValueError):
-                return None
-        sample_kwargs = sample_calls.get("kwargs")
-        if isinstance(sample_kwargs, dict) and "n_samples" in sample_kwargs:
-            try:
-                return int(sample_kwargs["n_samples"])
-            except (TypeError, ValueError):
-                return None
-        return None
-
-    def _load_flow_from_file(
-        self, file_path, flow_path: str = "flow", required: bool = True
-    ) -> bool:
-        import h5py
-
-        with h5py.File(file_path, "r") as h5_file:
-            if flow_path in h5_file:
-                logger.info(
-                    "Loading flow from %s in %s", flow_path, file_path
-                )
-                self.load_flow(h5_file, path=flow_path)
-                return True
-        if required:
-            raise ValueError(
-                f"Flow path '{flow_path}' not found in {file_path}"
-            )
-        logger.warning(
-            "Flow not found at %s in %s; continuing without loading a "
-            "flow.",
-            flow_path,
-            file_path,
-        )
-        return False
-
-    @classmethod
-    def _build_aspire_from_file(
-        cls,
-        file_path: str,
-        log_likelihood: Callable,
-        log_prior: Callable,
-        checkpoint_path: str,
-        checkpoint_dset: str,
-        flow_path: str,
-        config_path: str,
-    ):
-        import h5py
-
-        with h5py.File(file_path, "r") as h5_file:
-            if config_path not in h5_file:
-                raise ValueError(
-                    f"Config path '{config_path}' not found in {file_path}"
-                )
-            config_dict = load_dict_from_hdf5(h5_file, config_path)
-
-        (
-            checkpoint_payload,
-            checkpoint_state,
-            sampler_config,
-            saved_sampler_type,
-            n_samples,
-        ) = cls._load_resume_data(
-            file_path,
-            checkpoint_path=checkpoint_path,
-            checkpoint_dset=checkpoint_dset,
-            config_path=config_path,
-        )
-
-        config_dict.pop("sampler_config", None)
-        config_dict.pop("sampler_type", None)
-        flow_kwargs = config_dict.pop("flow_kwargs", None) or {}
-        config_dict.pop("log_likelihood", None)
-        config_dict.pop("log_prior", None)
-        config_dict["log_likelihood"] = log_likelihood
-        config_dict["log_prior"] = log_prior
-        known = set(signature(cls.__init__).parameters)
-        extra = {
-            k: v for k, v in config_dict.items() if k not in known
-        }
-        config_dict = {
-            k: v for k, v in config_dict.items() if k in known
-        }
-        config_dict.update(flow_kwargs)
-        config_dict.update(extra)
-        aspire = cls(**config_dict)
-
-        aspire._load_flow_from_file(
-            file_path, flow_path=flow_path, required=True
-        )
-
-        requested = cls._resume_n_samples_from_sampler_config(sampler_config)
-        if requested is not None:
-            n_samples = requested
-
-        return (
-            aspire,
-            checkpoint_payload,
-            checkpoint_state,
-            sampler_config,
-            saved_sampler_type,
-            n_samples,
-        )
+            self._checkpoints, self._resume, self._skip_fit = outer

@@ -150,7 +150,7 @@ def ring_resample_matrix(key, log_w, data, mesh, axis_name: str = "data",
 
 def _build_ring_resampler(mesh, axis_name: str, method: str):
     from jax.sharding import NamedSharding, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     n_shards = mesh.devices.size
     resampler = get_resampler(method)
@@ -189,7 +189,7 @@ def _build_ring_resampler(mesh, axis_name: str, method: str):
             mesh=mesh,
             in_specs=(P(), P(axis_name), P(axis_name)),
             out_specs=P(axis_name),
-            check_rep=False,
+            check_vma=False,
         ),
         in_shardings=(NamedSharding(mesh, P()), sharded, sharded),
         out_shardings=sharded,

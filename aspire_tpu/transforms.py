@@ -43,6 +43,15 @@ logger = logging.getLogger("aspire_tpu")
 _TRANSFORM_REGISTRY: dict[str, type] = {}
 
 
+def _name_list(names) -> list:
+    """Normalize an optional name sequence (list/tuple/ndarray) to a list.
+
+    Avoids truthiness on arrays: an empty numpy array (as HDF5 round-trips
+    produce) raises a DeprecationWarning under ``if names``.
+    """
+    return [] if names is None else list(names)
+
+
 def _freeze(value):
     """Make aux data hashable (jit caches on pytree aux)."""
     if isinstance(value, dict):
@@ -389,12 +398,13 @@ class CompositeTransform(BaseTransform):
             logger.warning(
                 "Missing prior bounds, some transforms may not be applied."
             )
+        periodic_parameters = _name_list(periodic_parameters)
         if periodic_parameters and not prior_bounds:
             raise ValueError(
                 "Must specify prior bounds to use periodic parameters."
             )
         self.parameters = list(parameters)
-        self.periodic_parameters = list(periodic_parameters or [])
+        self.periodic_parameters = periodic_parameters
         self.bounded_to_unbounded = bounded_to_unbounded
         self.bounded_transform = bounded_transform
         self.affine_transform = affine_transform
@@ -633,7 +643,7 @@ class FlowPreconditioningTransform(BaseTransform):
     ):
         super().__init__(dtype=dtype)
         self.parameters = list(parameters)
-        self.periodic_parameters = list(periodic_parameters or [])
+        self.periodic_parameters = _name_list(periodic_parameters)
         self.prior_bounds = prior_bounds
         self.bounded_to_unbounded = bounded_to_unbounded
         self.bounded_transform = bounded_transform

@@ -194,7 +194,7 @@ class TestRingResampling:
         is never globally gathered."""
         import jax
         from jax.sharding import NamedSharding, PartitionSpec as P
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
 
         from aspire_tpu.ops import resampling as R
 
@@ -231,7 +231,7 @@ class TestRingResampling:
                 mesh=mesh,
                 in_specs=(P(), P("data"), P("data")),
                 out_specs=P("data"),
-                check_rep=False,
+                check_vma=False,
             )
         )
         import jax.numpy as jnp_  # noqa: F401
