@@ -121,7 +121,8 @@ def plot_comparison(
     from matplotlib.lines import Line2D
 
     if per_samples_kwargs is None:
-        per_samples_kwargs = [{}] * len(samples)
+        # One dict per set (not aliased): per-set mutation must not leak.
+        per_samples_kwargs = [{} for _ in samples]
     if len(per_samples_kwargs) != len(samples):
         raise ValueError(
             f"Got {len(per_samples_kwargs)} per-sample kwarg dicts for "

@@ -27,6 +27,7 @@ from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 class ChainState(NamedTuple):
@@ -38,23 +39,44 @@ class ChainState(NamedTuple):
     step_size: jax.Array  # scalar (adapted)
     n_accept: jax.Array  # (n,) running acceptance counts
     grad: jax.Array | None = None  # (n, d) cached gradients (MALA/HMC)
-    #: scalar running count of target-density evaluations — kernels
-    #: with data-dependent work (NUTS trees, HMC leapfrogs) add their
-    #: true cost; fixed-cost kernels add n per step. None = untracked.
+    #: running count of target-density evaluations as a (2,) int32
+    #: split counter ``[lo, hi]`` with value ``lo + hi * EVAL_BASE`` —
+    #: kernels with data-dependent work (NUTS trees, HMC leapfrogs) add
+    #: their true cost; fixed-cost kernels add n per step. The split
+    #: keeps the count exact past 2**31 (a 1M-particle NUTS mutation
+    #: can exceed int32 in a single call); per-STEP amounts must stay
+    #: below ~2**31 (n * max_tree_leaves). None = untracked.
     n_evals: jax.Array | None = None
 
 
-def _count_evals(state: ChainState, amount) -> jax.Array | None:
-    """Accumulate into the eval counter when tracking is on.
+EVAL_BASE = 1 << 24
 
-    Cast to the carry dtype: under x64 a promoted int64 amount would
-    otherwise change the scan carry type mid-loop.
-    """
+
+def eval_counter_init() -> jax.Array:
+    """Fresh (2,) split eval counter."""
+    return jnp.zeros((2,), jnp.int32)
+
+
+def eval_counter_total(counter) -> int:
+    """Host-side exact total of a (2,) split counter (Python int)."""
+    c = np.asarray(counter)
+    if c.ndim == 0:  # pre-split checkpoints / scalar counters
+        return int(c)
+    return int(c[0]) + int(c[1]) * EVAL_BASE
+
+
+def eval_counter_add(counter: jax.Array, amount) -> jax.Array:
+    """Add ``amount`` (< ~2**31) to a (2,) split counter, normalized."""
+    lo = counter[0] + jnp.asarray(amount).astype(jnp.int32)
+    hi = counter[1] + lo // EVAL_BASE
+    return jnp.stack([lo % EVAL_BASE, hi])
+
+
+def _count_evals(state: ChainState, amount) -> jax.Array | None:
+    """Accumulate into the split eval counter when tracking is on."""
     if state.n_evals is None:
         return None
-    return state.n_evals + jnp.asarray(amount).astype(
-        state.n_evals.dtype
-    )
+    return eval_counter_add(state.n_evals, amount)
 
 
 class GaussianReference(NamedTuple):

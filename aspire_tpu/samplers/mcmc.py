@@ -171,7 +171,9 @@ class PCNSampler(MCMCSampler):
                 final = step(final)
                 chain_list.append(final.x)
             chain = jnp.stack(chain_list)
-        self.n_likelihood_evaluations += n_steps * z.shape[0]
+        # Chain evals + the chain-seeding log_prob_fn(z) call —
+        # matches the SMC paths' exact accounting.
+        self.n_likelihood_evaluations += (n_steps + 1) * z.shape[0]
         acceptance = float(jnp.mean(final.n_accept / n_steps))
         logger.info("Mean acceptance rate: %.3f", acceptance)
         samples = self._finalize_chain(chain, burn_in, thin)
@@ -215,7 +217,9 @@ class EnsembleSampler(MCMCSampler):
                 final = step(final)
                 chain_list.append(final.x)
             chain = jnp.stack(chain_list)
-        self.n_likelihood_evaluations += n_steps * z.shape[0]
+        # Chain evals + the chain-seeding log_prob_fn(z) call —
+        # matches the SMC paths' exact accounting.
+        self.n_likelihood_evaluations += (n_steps + 1) * z.shape[0]
         acceptance = float(jnp.mean(final.n_accept / n_steps))
         logger.info("Mean acceptance rate: %.3f", acceptance)
         samples = self._finalize_chain(chain, burn_in, thin)

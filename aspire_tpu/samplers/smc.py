@@ -429,7 +429,7 @@ class SMCSampler(Sampler):
                          any_nan_q, any_nan_target)
                     )
                 )
-            self.n_likelihood_evaluations += int(evals)
+            self.n_likelihood_evaluations += K.eval_counter_total(evals)
             self.history.mcmc_acceptance.append(float(acceptance))
             self.history.mcmc_autocorr.append(float(tau))
             self._last_chain_stats = (float(tau), float(mixing))
@@ -527,6 +527,12 @@ class SMCSampler(Sampler):
             log_likelihood = self.log_likelihood
             log_prior = self.log_prior
             make_view = self._make_view
+            if self.mesh is not None:
+                from ..parallel.mesh import particle_sharding
+
+                constraint = particle_sharding(self.mesh)
+            else:
+                constraint = None
 
             @partial(
                 jax.jit,
@@ -554,7 +560,7 @@ class SMCSampler(Sampler):
                     step_size=step0.astype(z.dtype),
                     n_accept=jnp.zeros(z.shape[0], dtype=z.dtype),
                     grad=grad,
-                    n_evals=jnp.zeros((), jnp.int32),
+                    n_evals=K.eval_counter_init(),
                 )
                 final, chain, stats = K.run_chain(
                     step_fn, state, n_steps,
@@ -562,8 +568,18 @@ class SMCSampler(Sampler):
                     track_autocorr=True,
                 )
                 if waste_free:
-                    # Pool every chain state: (k, M, d) -> (k*M, d).
-                    z_out = chain.reshape(-1, z.shape[1])
+                    # Pool every chain state, ancestor-major:
+                    # (k, M, d) -> (M, k, d) -> (M*k, d). Ancestor-major
+                    # keeps each mesh shard's pooled rows contiguous, so
+                    # a sharded population re-tiles without any
+                    # cross-device data movement.
+                    z_out = jnp.swapaxes(chain, 0, 1).reshape(
+                        -1, z.shape[1]
+                    )
+                    if constraint is not None:
+                        z_out = jax.lax.with_sharding_constraint(
+                            z_out, constraint
+                        )
                 else:
                     z_out = final.x
                 # Post-chain density refresh fused into the same program
@@ -583,9 +599,10 @@ class SMCSampler(Sampler):
                 )
                 # Initial density eval + chain evals (exact, even for
                 # data-dependent NUTS trees) + post-chain refresh over
-                # the output population.
-                total_evals = (
-                    final.n_evals + z.shape[0] + x.shape[0]
+                # the output population. Split (2,) counter: exact past
+                # 2**31 (large-n NUTS mutations overflow an int32).
+                total_evals = K.eval_counter_add(
+                    final.n_evals, z.shape[0] + x.shape[0]
                 )
                 return (
                     x,
@@ -681,9 +698,12 @@ class SMCSampler(Sampler):
         self._ladder_base_evals = self.n_likelihood_evaluations
         self._ladder_n_steps = n_steps
 
+        waste_free = bool(self.sampler_kwargs.get("waste_free", False))
         ladder = self._build_device_ladder(
-            n_steps, max_iters, with_checkpoint=checkpoint_callback
-            is not None,
+            n_steps,
+            max_iters,
+            with_checkpoint=checkpoint_callback is not None,
+            waste_free=waste_free,
         )
         ladder_phase = self.profiler.phase("ladder")
         ladder_phase.__enter__()
@@ -774,9 +794,10 @@ class SMCSampler(Sampler):
                 float(ratio_h[i]),
             )
         self.n_likelihood_evaluations += int(
-            sum(int(v) for v in ev_h[:it])
+            sum(K.eval_counter_total(v) for v in ev_h[:it])
         )
-        self.profiler.add("particle_steps", it * n_steps * n)
+        n_chains = n // n_steps if waste_free else n
+        self.profiler.add("particle_steps", it * n_steps * n_chains)
 
         new = SMCSamples(
             x=out["x"],
@@ -841,7 +862,12 @@ class SMCSampler(Sampler):
             "meta": {"beta": float(beta)},
             "key": np.asarray(key_data),
             "n_likelihood_evaluations": self._ladder_base_evals
-            + int(sum(int(v) for v in np.asarray(ev_h)[:it])),
+            + int(
+                sum(
+                    K.eval_counter_total(v)
+                    for v in np.asarray(ev_h)[:it]
+                )
+            ),
             "history": history,
             "sampler_kwargs": self.sampler_kwargs,
             "lineage_fraction": float(f_lin),
@@ -849,10 +875,15 @@ class SMCSampler(Sampler):
         sink(state)
 
     def _build_device_ladder(
-        self, n_steps: int, max_iters: int, with_checkpoint: bool = False
+        self,
+        n_steps: int,
+        max_iters: int,
+        with_checkpoint: bool = False,
+        waste_free: bool = False,
     ):
         """Build (and cache) the compiled whole-ladder program."""
         cache_key = ("ladder", n_steps, max_iters, with_checkpoint,
+                     waste_free,
                      tuple(sorted(self.sampler_kwargs.items())))
         if cache_key in self._mutate_cache:
             return self._mutate_cache[cache_key]
@@ -865,6 +896,9 @@ class SMCSampler(Sampler):
         make_view = self._make_view
         resampler = get_resampler(self.resampling_method)
         adaptive_min_step = self.adaptive_min_beta_step
+        use_ring = self.resampling_impl == "ring" and self.mesh is not None
+        mesh = self.mesh
+        resampling_method = self.resampling_method
         if self.mesh is not None:
             from ..parallel.mesh import particle_sharding
 
@@ -918,9 +952,10 @@ class SMCSampler(Sampler):
                 # ladder's _update_lineage_* for the recursion);
                 # resumes carry the checkpointed value in.
                 "f_lin": f_lin0.astype(dtype),
-                # per-iteration exact eval counts; summed on host in
+                # per-iteration exact eval counts as (lo, hi) split
+                # int32 pairs (see kernels.EVAL_BASE); summed on host in
                 # python ints so totals never lose integer exactness
-                "ev_h": jnp.zeros((max_iters,), jnp.int32),
+                "ev_h": jnp.zeros((max_iters, 2), jnp.int32),
             }
 
             def cond(s):
@@ -960,15 +995,34 @@ class SMCSampler(Sampler):
                 log_w = incremental_log_weights(
                     s["lq"], s["ll"], s["lpi"], beta_prev, beta
                 )
-                idx = resampler(rs_key, log_w, n)
-                x_r = s["x"][idx]
-                if constraint is not None:
-                    # Keep the ladder's particle arrays sharded through
-                    # the all-to-all resampling gather (GSPMD would
-                    # otherwise replicate everything downstream).
-                    x_r = jax.lax.with_sharding_constraint(
-                        x_r, constraint
+                # Waste-free (Dau & Chopin 2020): resample only
+                # M = n/k ancestors; the k-step chains are pooled back
+                # to n rows below.
+                n_chains = n // n_steps if waste_free else n
+                if use_ring:
+                    # Hand-rolled explicit-collective resample (weight
+                    # all-gather + ppermute ring); bit-identical to the
+                    # GSPMD gather for the same key.
+                    from ..ops.resampling import ring_resample_matrix
+
+                    x_r = ring_resample_matrix(
+                        rs_key,
+                        log_w.astype(dtype),
+                        s["x"],
+                        mesh,
+                        method=resampling_method,
                     )
+                else:
+                    idx = resampler(rs_key, log_w, n_chains)
+                    x_r = s["x"][idx]
+                    if constraint is not None:
+                        # Keep the ladder's particle arrays sharded
+                        # through the all-to-all resampling gather
+                        # (GSPMD would otherwise replicate everything
+                        # downstream).
+                        x_r = jax.lax.with_sharding_constraint(
+                            x_r, constraint
+                        )
 
                 lp_fn = lambda zz: tempered(  # noqa: E731
                     flow_state, None, zz, beta
@@ -989,15 +1043,30 @@ class SMCSampler(Sampler):
                     log_prob=lp0,
                     key=mut_key,
                     step_size=step0,
-                    n_accept=jnp.zeros(n, dtype=dtype),
+                    n_accept=jnp.zeros(n_chains, dtype=dtype),
                     grad=grad0,
-                    n_evals=jnp.zeros((), jnp.int32),
+                    n_evals=K.eval_counter_init(),
                 )
-                final, _, cstats = K.run_chain(
-                    step_fn, chain0, n_steps, track_autocorr=True
+                final, chain, cstats = K.run_chain(
+                    step_fn,
+                    chain0,
+                    n_steps,
+                    store_chain=waste_free,
+                    track_autocorr=True,
                 )
                 tau = cstats.tau
-                x_m = final.x
+                if waste_free:
+                    # Pool every chain state, ancestor-major (each mesh
+                    # shard's pooled rows stay contiguous).
+                    x_m = jnp.swapaxes(chain, 0, 1).reshape(
+                        n, x.shape[1]
+                    )
+                    if constraint is not None:
+                        x_m = jax.lax.with_sharding_constraint(
+                            x_m, constraint
+                        )
+                else:
+                    x_m = final.x
                 lq_m = flow_log_prob(flow_state, x_m).astype(dtype)
                 view = make_view(x_m)
                 lpi_m = (
@@ -1043,7 +1112,9 @@ class SMCSampler(Sampler):
                     "lin_h": s["lin_h"].at[i].set(s["f_lin"]),
                     "f_lin": f_lin.astype(dtype),
                     "ev_h": s["ev_h"].at[i].set(
-                        final.n_evals + 2 * n
+                        K.eval_counter_add(
+                            final.n_evals, n_chains + n
+                        )
                     ),
                 }
                 if with_checkpoint:
@@ -1142,6 +1213,7 @@ class SMCSampler(Sampler):
         store_sample_history: bool | None = None,
         beta_tolerance: float = DEFAULT_BETA_TOLERANCE,
         device_ladder: bool | None = None,
+        device_ladder_max_iters: int = 256,
     ) -> Samples:
         """Run adaptive-tempered SMC; returns weighted posterior Samples.
 
@@ -1154,7 +1226,12 @@ class SMCSampler(Sampler):
         written from inside the loop via ``io_callback``. The default
         (``None``) AUTO-SELECTS it whenever those conditions hold and
         per-iteration sample history is not requested; pass ``False``
-        to force the host ladder.
+        to force the host ladder. ``device_ladder_max_iters`` sizes the
+        compiled ladder's history buffers (a run needing more rungs
+        falls back to the host ladder with a warning); it composes with
+        ``waste_free=True`` (in-loop ancestor pooling) and
+        ``resampling_impl='ring'`` (explicit-collective resampling on a
+        mesh).
         """
         self.sampler_kwargs = dict(self.default_sampler_kwargs)
         self.sampler_kwargs.update(sampler_kwargs or {})
@@ -1191,18 +1268,42 @@ class SMCSampler(Sampler):
             samples.log_prior = self.shard_array(samples.log_prior)
             samples.log_likelihood = self.shard_array(samples.log_likelihood)
 
+        if self.resampling_impl == "ring" and self.mesh is None:
+            raise ValueError(
+                "resampling_impl='ring' needs a mesh-sharded population "
+                "(pass mesh=... to the sampler); use 'auto' for "
+                "single-device runs."
+            )
         waste_free = bool(self.sampler_kwargs.get("waste_free", False))
         if waste_free:
-            if self.mesh is not None:
-                raise ValueError(
-                    "waste_free SMC is not supported on a sharded mesh "
-                    "yet (the ancestor count M = n/k does not tile the "
-                    "particle sharding)."
-                )
             if not self.target_is_jittable():
                 raise ValueError(
                     "waste_free SMC requires a jit-traceable target "
                     "(the pooled chain states are gathered in-program)."
+                )
+            if self.resampling_impl == "ring":
+                raise ValueError(
+                    "waste_free SMC resamples M = n/k ancestors; the "
+                    "ring collective redistributes full populations "
+                    "only. Use resampling_impl='auto' with "
+                    "waste_free=True."
+                )
+            k = int(self.sampler_kwargs.get("n_steps") or 5 * self.dims)
+            n_now = len(samples)
+            if n_now % k != 0:
+                raise ValueError(
+                    f"waste_free SMC pools k * (n/k) states back into "
+                    f"the population: n_samples ({n_now}) must be "
+                    f"divisible by the mutation n_steps ({k}); got "
+                    f"remainder {n_now % k}. Adjust n_samples or "
+                    "sampler_kwargs['n_steps']."
+                )
+            if self.mesh is not None and (n_now // k) % self.mesh.devices.size:
+                raise ValueError(
+                    f"waste_free SMC on a mesh shards the M = n/k "
+                    f"ancestor population: M ({n_now // k}) must be "
+                    f"divisible by the mesh size "
+                    f"({self.mesh.devices.size})."
                 )
 
         multiprocess = jax.process_count() > 1
@@ -1303,11 +1404,6 @@ class SMCSampler(Sampler):
                 and self.preconditioning_transform is None
                 and not store_sample_history
                 and self.target_is_jittable()
-                # The hand-rolled ring collective is wired into the
-                # host ladder only; honor the user's explicit choice.
-                and self.resampling_impl == "auto"
-                # Waste-free pooling is a host-ladder feature.
-                and not waste_free
                 # In-loop io_callback checkpoints cannot run on a
                 # multi-controller mesh; keep the host ladder so
                 # per-iteration checkpoints still happen.
@@ -1322,13 +1418,6 @@ class SMCSampler(Sampler):
                     "(jittable target, no preconditioning; pass "
                     "device_ladder=False to force the host ladder)."
                 )
-        if device_ladder and self.resampling_impl != "auto":
-            logger.warning(
-                "device_ladder resamples via the GSPMD gather; the "
-                "resampling_impl=%r collective applies to the host "
-                "ladder only.",
-                self.resampling_impl,
-            )
 
         if run_smc_loop and device_ladder:
             samples, ladder_iters = self._run_device_ladder(
@@ -1336,7 +1425,7 @@ class SMCSampler(Sampler):
                 min_beta_step=min_beta_step,
                 max_beta_step=max_beta_step,
                 beta_tolerance=beta_tolerance,
-                max_iters=max_n_steps or 256,
+                max_iters=max_n_steps or device_ladder_max_iters,
                 checkpoint_callback=checkpoint_callback,
                 checkpoint_every=checkpoint_every,
             )
@@ -1350,8 +1439,10 @@ class SMCSampler(Sampler):
                 # silently returning a beta < 1 population.
                 logger.warning(
                     "Device ladder hit its %d-iteration buffer at "
-                    "beta=%.4f; continuing on the host ladder.",
-                    256,
+                    "beta=%.4f; continuing on the host ladder "
+                    "(raise device_ladder_max_iters to keep such runs "
+                    "compiled).",
+                    device_ladder_max_iters,
                     beta,
                 )
             else:
@@ -1460,13 +1551,13 @@ class SMCSampler(Sampler):
                             method=self.resampling_method,
                         )
                     else:
+                        # sample() already rejected impl='ring' without
+                        # a mesh, so the impl can route unconditionally.
                         samples = samples.resample(
                             beta,
                             key=self.next_key(),
                             method=self.resampling_method,
-                            impl=self.resampling_impl
-                            if self.mesh is not None
-                            else "auto",
+                            impl=self.resampling_impl,
                         )
                 self._update_lineage_after_resample(
                     ess, n_before_resample

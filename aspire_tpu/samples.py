@@ -950,9 +950,11 @@ class SMCSamples(BaseSamples):
         if (
             isinstance(in_sharding, jax.sharding.NamedSharding)
             and in_sharding.spec
-            and n_samples == n
+            and n_samples % in_sharding.mesh.devices.size == 0
         ):
-            # P over the leading axis applies to (n, d) and (n,) alike.
+            # P over the leading axis applies to (n, d) and (n,) alike,
+            # and to any output size that tiles the mesh (e.g. the
+            # M = n/k ancestor population of waste-free SMC).
             x, ll, lp, lq = jax.device_put((x, ll, lp, lq), in_sharding)
         return self.__class__(
             x=x,

@@ -472,3 +472,41 @@ class TestWasteFreeSMC:
                 n_samples=100, sampler="smc",
                 sampler_kwargs={"n_steps": 5, "waste_free": True},
             )
+
+
+class TestWasteFreeDeviceLadder:
+    """Round 3: waste_free composes with the compiled device ladder
+    (the eval saving is preserved inside the single-dispatch program)."""
+
+    def test_ladder_matches_host_and_saves_evals(self, fitted_aspire):
+        host = fitted_aspire.sample_posterior(
+            n_samples=320, sampler="smc",
+            sampler_kwargs={"n_steps": 8, "waste_free": True},
+            device_ladder=False,
+        )
+        host_evals = fitted_aspire.sampler.n_likelihood_evaluations
+        ladder = fitted_aspire.sample_posterior(
+            n_samples=320, sampler="smc",
+            sampler_kwargs={"n_steps": 8, "waste_free": True},
+            device_ladder=True,
+        )
+        ladder_evals = fitted_aspire.sampler.n_likelihood_evaluations
+        assert len(ladder) == len(host) == 320
+        assert float(ladder.log_evidence) == pytest.approx(
+            TRUE_LOG_Z, abs=0.5
+        )
+        # Same accounting formula on both paths: M + chain + n refresh
+        # per iteration. Iteration counts can differ by a rung or two
+        # (different PRNG streams), so compare per-iteration rates.
+        n_it_host = len(
+            fitted_aspire.sampler.history.beta
+        )
+        assert n_it_host >= 1
+        assert ladder_evals < 0.6 * 320 * 8 * (n_it_host + 4)
+
+    def test_divisibility_is_validated(self, fitted_aspire):
+        with pytest.raises(ValueError, match="divisible"):
+            fitted_aspire.sample_posterior(
+                n_samples=250, sampler="smc",
+                sampler_kwargs={"n_steps": 8, "waste_free": True},
+            )

@@ -327,3 +327,27 @@ def test_gamma_fixed_shape_fallback_non_half_integer():
     w = gamma_fixed_shape(jax.random.key(1), 2.75, 50_000, jnp.float32)
     mean = float(jnp.mean(w))
     assert abs(mean - 2.75) < 0.05
+
+
+class TestSplitEvalCounter:
+    """The (lo, hi) split eval counter stays exact past int32 range."""
+
+    def test_total_past_int32(self):
+        import jax.numpy as jnp
+
+        from aspire_tpu.samplers import kernels as K
+
+        c = K.eval_counter_init()
+        amount = 2**30
+        for _ in range(5):  # 5 * 2**30 > 2**31 - 1
+            c = K.eval_counter_add(c, amount)
+        assert K.eval_counter_total(c) == 5 * amount
+        # components stay within int32
+        assert int(jnp.max(jnp.abs(c))) < 2**31 - 1
+
+    def test_accepts_legacy_scalar(self):
+        import numpy as np
+
+        from aspire_tpu.samplers import kernels as K
+
+        assert K.eval_counter_total(np.int32(123)) == 123

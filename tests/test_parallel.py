@@ -291,3 +291,198 @@ class TestRingResampling:
             np.asarray(s_ring.x), np.asarray(s_auto.x), rtol=2e-5,
             atol=1e-6,
         )
+
+
+class TestWasteFreeComposition:
+    """Round 3: waste-free SMC composes with the particle mesh — the
+    M = n/k ancestor population is resampled sharded and the pooled
+    k-step chains re-tile ancestor-major without cross-device moves."""
+
+    def _run(self, mesh_arg, rng, **extra):
+        from aspire_tpu.flows import Flow
+        from aspire_tpu.models import GaussianProblem
+        from aspire_tpu.samplers import PCNSMC
+
+        p = GaussianProblem(dims=2)
+        flow = Flow(dims=2, architecture="maf", key=0, n_layers=2)
+        flow.fit(
+            p.draw_initial_samples(np.random.default_rng(7), 800),
+            n_epochs=5,
+            batch_size=256,
+        )
+        sampler = PCNSMC(
+            log_likelihood=p.log_likelihood,
+            log_prior=p.log_prior,
+            dims=2,
+            prior_flow=flow,
+            parameters=p.parameters,
+            rng=jax.random.key(5),
+            mesh=mesh_arg,
+        )
+        samples = sampler.sample(
+            256,
+            sampler_kwargs={"n_steps": 4, "waste_free": True},
+            **extra,
+        )
+        return samples, sampler
+
+    def test_sharded_matches_unsharded(self, mesh, rng):
+        s_sharded, sm_sharded = self._run(mesh, rng)
+        s_plain, sm_plain = self._run(None, rng)
+        assert sm_sharded.history.beta == pytest.approx(
+            sm_plain.history.beta, rel=1e-5
+        )
+        assert float(s_sharded.log_evidence) == pytest.approx(
+            float(s_plain.log_evidence), abs=1e-3
+        )
+        # Eval savings preserved under sharding: M = 64 ancestors at 4
+        # steps + refreshes, nowhere near the standard n-per-step cost.
+        assert (
+            sm_sharded.n_likelihood_evaluations
+            == sm_plain.n_likelihood_evaluations
+        )
+
+    def test_mesh_divisibility_is_validated(self, mesh, rng):
+        from aspire_tpu.flows import Flow
+        from aspire_tpu.models import GaussianProblem
+        from aspire_tpu.samplers import PCNSMC
+
+        p = GaussianProblem(dims=2)
+        flow = Flow(dims=2, architecture="maf", key=0, n_layers=2)
+        flow.fit(
+            p.draw_initial_samples(np.random.default_rng(7), 400),
+            n_epochs=2,
+            batch_size=256,
+        )
+        sampler = PCNSMC(
+            log_likelihood=p.log_likelihood,
+            log_prior=p.log_prior,
+            dims=2,
+            prior_flow=flow,
+            parameters=p.parameters,
+            rng=jax.random.key(5),
+            mesh=mesh,
+        )
+        # n/k = 256/64 = 4 ancestors cannot shard over 8 devices.
+        with pytest.raises(ValueError, match="divisible by the mesh"):
+            sampler.sample(
+                256, sampler_kwargs={"n_steps": 64, "waste_free": True}
+            )
+
+
+class TestRingInDeviceLadder:
+    """Round 3: the compiled device ladder honors resampling_impl."""
+
+    def _sampler(self, mesh_arg, impl):
+        from aspire_tpu.flows import Flow
+        from aspire_tpu.models import GaussianProblem
+        from aspire_tpu.samplers import PCNSMC
+
+        p = GaussianProblem(dims=2)
+        flow = Flow(dims=2, architecture="maf", key=0, n_layers=2)
+        flow.fit(
+            p.draw_initial_samples(np.random.default_rng(3), 800),
+            n_epochs=5,
+            batch_size=256,
+        )
+        return PCNSMC(
+            log_likelihood=p.log_likelihood,
+            log_prior=p.log_prior,
+            dims=2,
+            prior_flow=flow,
+            parameters=p.parameters,
+            rng=jax.random.key(5),
+            mesh=mesh_arg,
+            resampling_impl=impl,
+        )
+
+    def test_ladder_routes_through_ring(self, mesh, monkeypatch):
+        """With impl='ring', the compiled ladder's resample traces
+        through ring_resample_matrix; with 'auto' it never does. The
+        run trajectories are identical (bit-identical resampling)."""
+        from aspire_tpu.ops import resampling as R
+
+        calls = {"n": 0}
+        real = R.ring_resample_matrix
+
+        def counting(*args, **kwargs):
+            calls["n"] += 1
+            return real(*args, **kwargs)
+
+        monkeypatch.setattr(R, "ring_resample_matrix", counting)
+
+        ring_sampler = self._sampler(mesh, "ring")
+        s_ring = ring_sampler.sample(
+            256, sampler_kwargs={"n_steps": 4}, device_ladder=True
+        )
+        assert calls["n"] > 0, "ladder did not use the ring collective"
+
+        ring_calls = calls["n"]
+        auto_sampler = self._sampler(mesh, "auto")
+        s_auto = auto_sampler.sample(
+            256, sampler_kwargs={"n_steps": 4}, device_ladder=True
+        )
+        assert calls["n"] == ring_calls, "auto ladder used the ring"
+
+        assert ring_sampler.history.beta == pytest.approx(
+            auto_sampler.history.beta, rel=1e-6
+        )
+        assert float(s_ring.log_evidence) == pytest.approx(
+            float(s_auto.log_evidence), abs=1e-6
+        )
+
+    def test_ring_without_mesh_raises(self):
+        sampler = self._sampler(None, "ring")
+        with pytest.raises(ValueError, match="mesh-sharded"):
+            sampler.sample(128, sampler_kwargs={"n_steps": 2})
+
+    def test_collective_counts_distinguish_schedules(self, mesh):
+        """The ring schedule moves particles via collective-permute
+        steps; the GSPMD gather schedule does not contain a ppermute
+        ring of that depth. Counting collective-permutes in the lowered
+        programs separates the two."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from aspire_tpu.ops import resampling as R
+
+        n, d = 256, 3
+        sh = NamedSharding(mesh, P("data"))
+        key = jax.random.key(0)
+        lw = jax.device_put(jnp.zeros(n, jnp.float32), sh)
+        x = jax.device_put(jnp.zeros((n, d), jnp.float32), sh)
+
+        resampler = R.get_resampler("systematic")
+
+        @jax.jit
+        def gspmd(key, lw, x):
+            return x[resampler(key, lw, n)]
+
+        auto_text = gspmd.lower(key, lw, x).compile().as_text()
+        ring_fn = R._build_ring_resampler(mesh, "data", "systematic")
+        ring_text = ring_fn.lower(key, lw, x).compile().as_text()
+
+        def global_matrix_collectives(text):
+            # all-reduce / all-gather ops materializing the FULL
+            # (n, d) matrix on every device — the signature of the
+            # GSPMD gather lowering (masked select + all-reduce).
+            return sum(
+                1
+                for line in text.splitlines()
+                if ("all-reduce" in line or "all-gather" in line)
+                and f"f32[{n},{d}]" in line
+            )
+
+        def block_permutes(text):
+            # collective-permutes of per-shard (n/8, d) blocks — the
+            # ring schedule's only matrix movement.
+            return sum(
+                1
+                for line in text.splitlines()
+                if "collective-permute" in line
+                and f"f32[{n // 8},{d}]" in line
+            )
+
+        assert global_matrix_collectives(auto_text) > 0
+        assert global_matrix_collectives(ring_text) == 0
+        assert block_permutes(ring_text) > 0
+        assert block_permutes(auto_text) == 0
