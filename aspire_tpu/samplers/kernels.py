@@ -772,6 +772,7 @@ def run_chain(
     n_steps: int,
     store_chain: bool = False,
     track_autocorr: bool = False,
+    windowed_tau: bool = False,
 ):
     """Run ``n_steps`` of ``step_fn`` under ``lax.scan``.
 
@@ -779,8 +780,13 @@ def run_chain(
     positions ``(n_steps, n, d)`` if ``store_chain`` else None. With
     ``track_autocorr=True`` a third value is returned: a
     :class:`ChainStats` computed online from O(n d) running sums so
-    the chain itself never needs to be materialized.
+    the chain itself never needs to be materialized. With
+    ``windowed_tau=True`` (requires ``store_chain``) the reported tau
+    is the windowed Sokal estimate from the stored chain
+    (:func:`sokal_tau_from_chain`) instead of the AR(1) surrogate.
     """
+    if windowed_tau and not store_chain:
+        raise ValueError("windowed_tau requires store_chain=True")
     if not track_autocorr:
 
         def body(carry, _):
@@ -818,8 +824,12 @@ def run_chain(
     (final, _, s1, s2, c1), chain = jax.lax.scan(
         body, init, None, length=n_steps
     )
+    if windowed_tau:
+        tau = sokal_tau_from_chain(chain, x0)
+    else:
+        tau = lag1_autocorr_time(s1, s2, c1, n_steps)
     stats = ChainStats(
-        tau=lag1_autocorr_time(s1, s2, c1, n_steps),
+        tau=tau,
         mixing=chain_mixing_ratio(x0, s1, s2, n_steps),
     )
     return final, chain, stats
@@ -883,3 +893,53 @@ def lag1_autocorr_time(s1, s2, c1, n_steps: int):
     rho_dim = jnp.clip(jnp.mean(rho, axis=0), -0.9999, 0.9999)
     tau_dim = (1 + rho_dim) / (1 - rho_dim)
     return jnp.mean(jnp.maximum(tau_dim, 1.0))
+
+
+#: tau reported for a chain with no variance at all (frozen walkers);
+#: matches the AR(1) estimator's rho <= 0.9999 saturation value.
+_FROZEN_TAU = 2e4
+
+
+def sokal_tau_from_chain(chain, x0, c: float = 5.0):
+    """Windowed (Sokal) integrated autocorrelation time from a stored
+    chain, on device.
+
+    ``chain`` is ``(n_steps, n_walkers, d)`` positions, ``x0`` the
+    ``(n_walkers, d)`` start points (prepended as step 0). Per-walker
+    autocovariances come from an FFT over the time axis (the standard
+    estimator the reference gets from ``emcee.autocorr``; reference
+    smc/emcee.py:66-84); walker-averaged per-dim correlations are
+    summed with Geyer/Sokal's adaptive window — the smallest ``W`` with
+    ``W >= c * tau(W)`` — and the worst (largest) dimension is
+    reported. Unlike the online AR(1) surrogate
+    (:func:`lag1_autocorr_time`), this sees multi-timescale chains
+    whose lag-1 correlation is small but whose tail decays slowly —
+    exactly the hard-target case where the lineage-based evidence-error
+    inflation needs an honest tau.
+    """
+    dev = chain - x0[None]  # deviations: f32-safe far from the origin
+    dev = jnp.concatenate([jnp.zeros_like(dev[:1]), dev], axis=0)
+    m = dev.shape[0]
+    y = dev - jnp.mean(dev, axis=0, keepdims=True)
+    nfft = 1
+    while nfft < 2 * m:
+        nfft *= 2
+    f = jnp.fft.rfft(y, n=nfft, axis=0)
+    acov = jnp.fft.irfft(
+        (f * jnp.conj(f)).real.astype(jnp.complex64), n=nfft, axis=0
+    )[:m].real
+    g = jnp.mean(acov, axis=1)  # walker-averaged, (m, d)
+    g0 = jnp.maximum(g[0], 1e-30)
+    rho = g[1:] / g0  # (m - 1, d)
+    taus = 1.0 + 2.0 * jnp.cumsum(rho, axis=0)
+    lags = jnp.arange(1, m, dtype=taus.dtype)[:, None]
+    ok = lags >= c * taus
+    idx = jnp.where(
+        jnp.any(ok, axis=0), jnp.argmax(ok, axis=0), m - 2
+    )
+    tau_dim = jnp.take_along_axis(taus, idx[None, :], axis=0)[0]
+    # Frozen dimensions (no variance anywhere) cannot be resolved:
+    # report the same saturation value as the AR(1) path instead of a
+    # spuriously perfect tau = 1.
+    tau_dim = jnp.where(g[0] > 1e-30, tau_dim, _FROZEN_TAU)
+    return jnp.clip(jnp.max(tau_dim), 1.0, _FROZEN_TAU)

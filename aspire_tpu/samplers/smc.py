@@ -369,18 +369,28 @@ class SMCSampler(Sampler):
         beta: float,
         n_steps: int | None = None,
         waste_free: bool | None = None,
+        windowed_tau: bool | None = None,
     ) -> SMCSamples:
         """Run the mutation kernel; re-evaluate densities at the end.
 
         Parity: reference smc/minipcn.py:69-135 (fit preconditioning to
         particles -> run chain in transformed space -> invert -> refresh
         log_q / log_prior / log_likelihood).
+
+        ``windowed_tau=True`` stores the chain and records the windowed
+        Sokal autocorrelation time instead of the online AR(1)
+        surrogate (reference smc/emcee.py:66-84 parity); waste-free
+        mutations get it for free (the chain is stored anyway).
         """
         kwargs = dict(self.default_sampler_kwargs)
         kwargs.update(self.sampler_kwargs or {})
         n_steps = int(n_steps or kwargs.get("n_steps") or 5 * self.dims)
         if waste_free is None:
             waste_free = bool(kwargs.get("waste_free", False))
+        if windowed_tau is None:
+            windowed_tau = (
+                bool(kwargs.get("windowed_tau", False)) or waste_free
+            )
 
         with self.profiler.phase("mutate/fit_precond"):
             z = self.fit_preconditioning_transform(samples.x)
@@ -420,6 +430,7 @@ class SMCSampler(Sampler):
                     kwargs,
                     self._step_size_carry,
                     waste_free=waste_free,
+                    windowed_tau=windowed_tau,
                 )
             self._step_size_carry = step_carry
             with self.profiler.phase("mutate/sync"):
@@ -502,6 +513,7 @@ class SMCSampler(Sampler):
     def _mutate_on_device(
         self, flow_state, precond, z, beta, key, n_steps, kwargs,
         step_size_carry=None, waste_free: bool = False,
+        windowed_tau: bool = False,
     ):
         """Fully jitted mutation: one XLA computation for the whole chain.
 
@@ -519,6 +531,7 @@ class SMCSampler(Sampler):
             precond is None,
             use_carry,
             waste_free,
+            windowed_tau,
         )
         if cache_key not in self._mutate_cache:
             tempered = self.make_tempered_log_prob()
@@ -536,11 +549,13 @@ class SMCSampler(Sampler):
 
             @partial(
                 jax.jit,
-                static_argnames=("n_steps", "use_carry", "waste_free"),
+                static_argnames=(
+                    "n_steps", "use_carry", "waste_free", "windowed_tau"
+                ),
             )
             def mutate_fn(
                 flow_state, precond, z, beta, key, step0, n_steps,
-                use_carry, waste_free,
+                use_carry, waste_free, windowed_tau,
             ):
                 log_prob_fn = lambda zz: tempered(  # noqa: E731
                     flow_state, precond, zz, beta
@@ -564,8 +579,9 @@ class SMCSampler(Sampler):
                 )
                 final, chain, stats = K.run_chain(
                     step_fn, state, n_steps,
-                    store_chain=waste_free,
+                    store_chain=waste_free or windowed_tau,
                     track_autocorr=True,
+                    windowed_tau=windowed_tau,
                 )
                 if waste_free:
                     # Pool every chain state, ancestor-major:
@@ -634,6 +650,7 @@ class SMCSampler(Sampler):
             n_steps=n_steps,
             use_carry=use_carry,
             waste_free=waste_free,
+            windowed_tau=windowed_tau,
         )
 
     # -- fully on-device ladder ----------------------------------------------
@@ -896,6 +913,9 @@ class SMCSampler(Sampler):
         make_view = self._make_view
         resampler = get_resampler(self.resampling_method)
         adaptive_min_step = self.adaptive_min_beta_step
+        windowed_tau = waste_free or bool(
+            self.sampler_kwargs.get("windowed_tau", False)
+        )
         use_ring = self.resampling_impl == "ring" and self.mesh is not None
         mesh = self.mesh
         resampling_method = self.resampling_method
@@ -1051,8 +1071,12 @@ class SMCSampler(Sampler):
                     step_fn,
                     chain0,
                     n_steps,
-                    store_chain=waste_free,
+                    store_chain=windowed_tau,
                     track_autocorr=True,
+                    # Waste-free stores the chain anyway, so the
+                    # windowed Sokal tau is free there; the
+                    # windowed_tau sampler kwarg opts in elsewhere.
+                    windowed_tau=windowed_tau,
                 )
                 tau = cstats.tau
                 if waste_free:
@@ -1214,6 +1238,7 @@ class SMCSampler(Sampler):
         beta_tolerance: float = DEFAULT_BETA_TOLERANCE,
         device_ladder: bool | None = None,
         device_ladder_max_iters: int = 256,
+        n_replicates: int | None = None,
     ) -> Samples:
         """Run adaptive-tempered SMC; returns weighted posterior Samples.
 
@@ -1233,6 +1258,39 @@ class SMCSampler(Sampler):
         ``resampling_impl='ring'`` (explicit-collective resampling on a
         mesh).
         """
+        if n_replicates is not None and n_replicates > 1:
+            # Multi-run evidence error: k independent replicates (same
+            # compiled programs — everything is cached by shape — fresh
+            # PRNG stream each) whose between-run logZ spread covers
+            # seed-dependent bias (e.g. mode collapse) that no
+            # single-run delta-method bar can see.
+            if resume_from is not None or checkpoint_callback is not None \
+                    or checkpoint_file_path is not None:
+                raise ValueError(
+                    "n_replicates runs independent replicates; combine "
+                    "it with checkpointing/resume per replicate "
+                    "manually instead."
+                )
+            return self._sample_replicated(
+                n_replicates,
+                n_samples,
+                dict(
+                    n_steps=n_steps,
+                    adaptive=adaptive,
+                    min_beta_step=min_beta_step,
+                    max_beta_step=max_beta_step,
+                    max_n_steps=max_n_steps,
+                    target_efficiency=target_efficiency,
+                    target_efficiency_rate=target_efficiency_rate,
+                    n_final_samples=n_final_samples,
+                    sampler_kwargs=sampler_kwargs,
+                    store_sample_history=store_sample_history,
+                    beta_tolerance=beta_tolerance,
+                    device_ladder=device_ladder,
+                    device_ladder_max_iters=device_ladder_max_iters,
+                ),
+            )
+
         self.sampler_kwargs = dict(self.default_sampler_kwargs)
         self.sampler_kwargs.update(sampler_kwargs or {})
         n_final_steps = self.sampler_kwargs.pop("n_final_steps", None)
@@ -1591,8 +1649,16 @@ class SMCSampler(Sampler):
                 key=self.next_key(),
                 method=self.resampling_method,
             )
+            # The final population's tau feeds no further evidence
+            # increments, but it is the recorded mixing diagnostic of
+            # the returned samples — use the windowed estimate here
+            # (the chain is one extra (k, n, d) buffer, once).
             samples = self.mutate(
-                final, 1.0, n_steps=n_final_steps, waste_free=False
+                final,
+                1.0,
+                n_steps=n_final_steps,
+                waste_free=False,
+                windowed_tau=self.target_is_jittable(),
             )
 
         samples.log_evidence = float(np.sum(self.history.log_norm_ratio))
@@ -1615,6 +1681,59 @@ class SMCSampler(Sampler):
             )
         self.profiler.log_summary()
         return final_samples
+
+    def _sample_replicated(
+        self, k: int, n_samples: int, kwargs: dict
+    ) -> Samples:
+        """Run ``k`` independent SMC replicates; report the replicate
+        mean logZ with the between-replicate standard error.
+
+        Each replicate reuses every compiled program (identical shapes)
+        and continues the sampler's key stream, so replicates are cheap
+        on the device ladder and statistically independent. The
+        reported ``log_evidence_error`` is the larger of the
+        between-replicate SE (``std(logZ_r)/sqrt(k)``) and the pooled
+        single-run bar — the former is the honest tier when mutation
+        kernels mix poorly and individual runs collapse modes
+        differently (context: reference smc/base.py:433-443 only ever
+        reports the single-run delta-method bar).
+        """
+        logzs, errs, histories = [], [], []
+        result = None
+        for r in range(k):
+            logger.info("SMC replicate %d/%d", r + 1, k)
+            s = self.sample(n_samples, **kwargs)
+            logzs.append(float(s.log_evidence))
+            errs.append(float(s.log_evidence_error))
+            histories.append(self.history)
+            result = s
+        between_sd = float(np.std(logzs, ddof=1))
+        single_rms = float(np.sqrt(np.mean(np.square(errs))))
+        # sqrt(k) shrinkage assumes the replicates are exchangeable
+        # unbiased estimates. When they scatter MORE than their own
+        # single-run bars explain, the runs share unmodeled systematics
+        # (e.g. every short chain collapses modes a little differently
+        # around a common bias) — then the un-shrunk dispersion is the
+        # honest bar (PDG-style consistency scaling).
+        consistent = between_sd <= 1.5 * single_rms
+        between = (
+            between_sd / math.sqrt(k) if consistent else between_sd
+        )
+        single = single_rms / math.sqrt(k)
+        result.log_evidence = float(np.mean(logzs))
+        result.log_evidence_error = max(between, single)
+        result.log_evidence_replicates = np.asarray(logzs)
+        result.log_evidence_error_single = single_rms
+        self.replicate_histories = histories
+        logger.info(
+            "Replicated log evidence: %.3f +/- %.3f (between-run "
+            "%.3f, single-run rms %.3f)",
+            result.log_evidence,
+            result.log_evidence_error,
+            between,
+            result.log_evidence_error_single,
+        )
+        return result
 
     # -- config / checkpoint -------------------------------------------------
 

@@ -29,9 +29,27 @@ SAMPLERS = [
     # Langevin mixes locally: it needs longer chains on multimodal
     # targets for the mode weights to relax (see TODO.md).
     ("mala_smc", {"sampler_kwargs": {"n_steps": 100}}),
+    # The known-hard short-chain case: a single run under-covers its
+    # own mode-collapse bias; 5 independent replicates report the
+    # between-run spread instead (the jackknife tier).
+    ("mala_smc", {"sampler_kwargs": {"n_steps": 10}, "n_replicates": 5}),
+    # Windowed (Sokal) tau A/B against the default AR(1) surrogate:
+    # same run config, tau recorded from stored chains.
+    ("smc", {"sampler_kwargs": {"n_steps": 20, "windowed_tau": True}}),
     ("hmc_smc", {"sampler_kwargs": {"n_steps": 5, "n_leapfrog": 10}}),
     ("nuts_smc", {"sampler_kwargs": {"n_steps": 5, "n_leapfrog": 10}}),
 ]
+
+
+def _label(sampler: str, kwargs: dict) -> str:
+    label = sampler
+    if kwargs.get("device_ladder"):
+        label += "+device_ladder"
+    if kwargs.get("n_replicates"):
+        label += f"+jackknife{kwargs['n_replicates']}"
+    if (kwargs.get("sampler_kwargs") or {}).get("windowed_tau"):
+        label += "+windowed_tau"
+    return label
 
 
 def analytic_log_z(problem) -> float:
@@ -99,9 +117,8 @@ def main() -> None:
         asp.fit(Samples(init_fn(rng)), n_epochs=25, batch_size=512)
         true = analytic_log_z(problem)
         for sampler, kwargs in SAMPLERS:
-            label = sampler + (
-                "+device_ladder" if kwargs.get("device_ladder") else ""
-            )
+            label = _label(sampler, kwargs)
+            extra = {}
             try:
                 post = asp.sample_posterior(
                     sampler=sampler,
@@ -113,6 +130,16 @@ def main() -> None:
                 err = float(post.log_evidence_error)
                 tol = max(args.k_sigma * err, args.min_tol)
                 ok = abs(lz - true) < tol
+                history = getattr(asp.sampler, "history", None)
+                taus = getattr(history, "mcmc_autocorr", None)
+                if taus:
+                    extra["mean_tau"] = round(float(np.mean(taus)), 3)
+                reps = getattr(post, "log_evidence_replicates", None)
+                if reps is not None:
+                    extra["replicates"] = [round(v, 3) for v in reps]
+                    extra["single_run_err"] = round(
+                        float(post.log_evidence_error_single), 4
+                    )
             except Exception as exc:  # noqa: BLE001
                 lz, err, ok = float("nan"), float("nan"), False
                 print(f"# {label} raised: {exc!r}", file=sys.stderr)
@@ -126,6 +153,7 @@ def main() -> None:
                         "log_z_err": round(err, 4),
                         "true_log_z": round(true, 4),
                         "ok": bool(ok),
+                        **extra,
                     }
                 ),
                 flush=True,

@@ -510,3 +510,51 @@ class TestWasteFreeDeviceLadder:
                 n_samples=250, sampler="smc",
                 sampler_kwargs={"n_steps": 8, "waste_free": True},
             )
+
+
+class TestReplicatedEvidence:
+    """n_replicates=k: between-run logZ spread as the error tier that
+    covers seed-dependent bias (single-run bars cannot)."""
+
+    def test_replicates_reported(self, fitted_aspire):
+        post = fitted_aspire.sample_posterior(
+            n_samples=256, sampler="smc",
+            sampler_kwargs={"n_steps": 8}, n_replicates=3,
+        )
+        reps = post.log_evidence_replicates
+        assert len(reps) == 3
+        assert float(post.log_evidence) == pytest.approx(
+            float(np.mean(reps))
+        )
+        assert post.log_evidence_error > 0
+        assert post.log_evidence_error_single > 0
+        # The replicate mean should be at least as accurate as a
+        # typical single run.
+        assert float(post.log_evidence) == pytest.approx(
+            TRUE_LOG_Z, abs=0.5
+        )
+        assert len(fitted_aspire.sampler.replicate_histories) == 3
+
+    def test_checkpointing_combination_rejected(
+        self, fitted_aspire, tmp_path
+    ):
+        with pytest.raises(ValueError, match="replicate"):
+            fitted_aspire.sample_posterior(
+                n_samples=128, sampler="smc",
+                sampler_kwargs={"n_steps": 4}, n_replicates=2,
+                checkpoint_path=str(tmp_path / "c.h5"),
+            )
+
+
+def test_windowed_tau_recorded(fitted_aspire):
+    """sampler_kwargs windowed_tau=True records Sokal tau on every
+    mutation (host ladder and device ladder)."""
+    for ladder in (False, True):
+        fitted_aspire.sample_posterior(
+            n_samples=256, sampler="smc",
+            sampler_kwargs={"n_steps": 8, "windowed_tau": True},
+            device_ladder=ladder,
+        )
+        taus = fitted_aspire.sampler.history.mcmc_autocorr
+        assert len(taus) >= 1
+        assert all(t >= 1.0 for t in taus)

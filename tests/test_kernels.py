@@ -351,3 +351,72 @@ class TestSplitEvalCounter:
         from aspire_tpu.samplers import kernels as K
 
         assert K.eval_counter_total(np.int32(123)) == 123
+
+
+class TestSokalWindowedTau:
+    """Windowed (Sokal) IAT from stored chains vs the AR(1) surrogate."""
+
+    def _lag1_from_chain(self, chain, x0):
+        import jax.numpy as jnp
+
+        from aspire_tpu.samplers import kernels as K
+
+        dev = jnp.concatenate(
+            [jnp.zeros_like(x0[None]), chain - x0[None]], axis=0
+        )
+        s1 = dev.sum(0)
+        s2 = (dev**2).sum(0)
+        c1 = (dev[1:] * dev[:-1]).sum(0)
+        return float(K.lag1_autocorr_time(s1, s2, c1, chain.shape[0]))
+
+    def _make_chain(self, a1, a2, n_steps=400, n_walkers=64, seed=0):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        x = np.zeros((n_steps + 2, n_walkers, 1))
+        eps = rng.normal(size=(n_steps + 2, n_walkers, 1))
+        for t in range(2, n_steps + 2):
+            x[t] = a1 * x[t - 1] + a2 * x[t - 2] + eps[t]
+        import jax.numpy as jnp
+
+        return jnp.asarray(x[2:], jnp.float32), jnp.asarray(
+            x[1], jnp.float32
+        )
+
+    def test_matches_ar1_on_ar1_chain(self):
+        from aspire_tpu.samplers import kernels as K
+
+        chain, x0 = self._make_chain(a1=0.6, a2=0.0)
+        sokal = float(K.sokal_tau_from_chain(chain, x0))
+        # Analytic IAT of AR(1) with rho=0.6: (1+rho)/(1-rho) = 4.
+        assert sokal == pytest.approx(4.0, rel=0.35)
+
+    def test_sees_multi_timescale_where_lag1_cannot(self):
+        """AR(2) with negligible lag-1 but strong lag-2 correlation:
+        the AR(1) surrogate reports tau ~= 1 while the true IAT is
+        large — the windowed estimate must catch it."""
+        from aspire_tpu.samplers import kernels as K
+
+        chain, x0 = self._make_chain(a1=0.0, a2=0.9)
+        lag1 = self._lag1_from_chain(chain, x0)
+        sokal = float(K.sokal_tau_from_chain(chain, x0))
+        assert lag1 < 2.0  # the surrogate is blind to the lag-2 decay
+        assert sokal > 4.0 * lag1
+
+    def test_frozen_chain_saturates(self):
+        import jax.numpy as jnp
+
+        from aspire_tpu.samplers import kernels as K
+
+        x0 = jnp.ones((8, 2), jnp.float32)
+        chain = jnp.broadcast_to(x0, (20, 8, 2))
+        assert float(K.sokal_tau_from_chain(chain, x0)) == K._FROZEN_TAU
+
+    def test_run_chain_windowed_requires_store(self):
+        from aspire_tpu.samplers import kernels as K
+
+        with pytest.raises(ValueError, match="store_chain"):
+            K.run_chain(
+                lambda s: s, None, 4, store_chain=False,
+                track_autocorr=True, windowed_tau=True,
+            )
