@@ -136,9 +136,14 @@ def ring_resample_matrix(key, log_w, data, mesh, axis_name: str = "data",
 
     ``log_w`` must carry the same ``P(axis_name)`` sharding as ``data``.
     Returns the resampled matrix with the input sharding, bit-identical
-    to ``data[get_resampler(method)(key, log_w, n)]``. The jitted
-    shard_map program is cached per (mesh, axis, method) so repeated
-    SMC iterations hit the compile cache instead of re-tracing.
+    to ``data[get_resampler(method)(key, log_w, n)]`` evaluated in the
+    replicated (single-device) summation order — the collective impls
+    always agree with each other and with that order; GSPMD's sharded
+    lowering of the f32 weight prefix-sum may reorder the summation and
+    flip a small fraction of bin-boundary assignments at large n. The
+    jitted shard_map program is cached per (mesh, axis, method) so
+    repeated SMC iterations hit the compile cache instead of
+    re-tracing.
     """
     cache_key = (mesh, axis_name, method)
     cached = _RING_CACHE.get(cache_key)
@@ -181,6 +186,143 @@ def _build_ring_resampler(mesh, axis_name: str, method: str):
             0, n_shards, ring_step, (block, jnp.zeros_like(block))
         )
         return out
+
+    sharded = NamedSharding(mesh, P(axis_name))
+    return jax.jit(
+        shard_map(
+            local_fn,
+            mesh=mesh,
+            in_specs=(P(), P(axis_name), P(axis_name)),
+            out_specs=P(axis_name),
+            check_vma=False,
+        ),
+        in_shardings=(NamedSharding(mesh, P()), sharded, sharded),
+        out_shardings=sharded,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pod-scale alternative: count-based all_to_all redistribution
+# ---------------------------------------------------------------------------
+#
+# The ring streams EVERY particle block through EVERY shard: n * d bytes
+# per device regardless of how much actually moves. At pod scale most
+# resampled rows stay on their own shard (systematic resampling with
+# roughly balanced weights maps output block t mostly onto input block
+# t), so the bandwidth-optimal schedule sends only the rows that change
+# shards: every shard computes the identical global index vector
+# (prefix-sum of weights -> systematic positions), derives the exact
+# per-(src, dst) transfer lists from it, and exchanges fixed-capacity
+# buckets in ONE all_to_all. Ragged reality meets static shapes via the
+# ``cap`` rows-per-pair bound; the rare overflow (severely concentrated
+# weights) is detected globally in-program and the result falls back to
+# the ring schedule inside a ``lax.cond`` — correctness never depends
+# on the cap.
+
+_A2A_CACHE: dict = {}
+
+
+def alltoall_resample_matrix(
+    key,
+    log_w,
+    data,
+    mesh,
+    axis_name: str = "data",
+    method: str = "systematic",
+    cap: int | None = None,
+):
+    """Resample a row-sharded ``(n, cols)`` matrix via bucketed all_to_all.
+
+    Bit-identical to :func:`ring_resample_matrix` (same key, same global
+    index vector); moves ``O(S * cap * cols)`` bytes per device instead
+    of the ring's ``O(n * cols)``. ``cap`` bounds the rows any single
+    (src, dst) shard pair may exchange; overflow triggers an in-program
+    fallback to the ring schedule.
+    """
+    n_shards = int(mesh.devices.size)
+    chunk = data.shape[0] // n_shards
+    if cap is None:
+        # Balanced resampling needs ~chunk/S rows per pair; 4x headroom
+        # (+ a floor) keeps the fallback rare without re-creating the
+        # ring's full-matrix traffic.
+        cap = min(chunk, max(4 * chunk // n_shards, 16))
+    cache_key = (mesh, axis_name, method, int(cap))
+    cached = _A2A_CACHE.get(cache_key)
+    if cached is None:
+        cached = _build_alltoall_resampler(
+            mesh, axis_name, method, int(cap)
+        )
+        _A2A_CACHE[cache_key] = cached
+    return cached(key, log_w, data)
+
+
+def _build_alltoall_resampler(
+    mesh, axis_name: str, method: str, cap: int
+):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax import shard_map
+
+    n_shards = mesh.devices.size
+    resampler = get_resampler(method)
+    ring = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+
+    def local_fn(key, lw_local, block):
+        chunk = block.shape[0]
+        me = jax.lax.axis_index(axis_name)
+        lw_global = jax.lax.all_gather(lw_local, axis_name, tiled=True)
+        idx = resampler(key, lw_global, lw_global.shape[0])  # (n,)
+
+        # -- sender: bucket MY rows by destination block --------------
+        sends = []
+        overflow = jnp.zeros((), jnp.bool_)
+        for t in range(n_shards):
+            idx_t = jax.lax.dynamic_slice_in_dim(
+                idx, t * chunk, chunk
+            )
+            mine = (idx_t // chunk) == me
+            # Stable compaction: rows destined to t, in t's row order.
+            order = jnp.argsort(~mine)
+            rows = jnp.where(mine, idx_t - me * chunk, 0)[order]
+            sends.append(block[rows[:cap]])
+            overflow = overflow | (jnp.sum(mine) > cap)
+        send = jnp.stack(sends)  # (S, cap, cols)
+        recv = jax.lax.all_to_all(
+            send, axis_name, split_axis=0, concat_axis=0, tiled=True
+        )  # recv[s] = rows shard s prepared for me, in my row order
+
+        # -- receiver: place each row by its per-source running rank --
+        idx_me = jax.lax.dynamic_slice_in_dim(idx, me * chunk, chunk)
+        src = idx_me // chunk  # (chunk,)
+        onehot = src[:, None] == jnp.arange(n_shards)[None, :]
+        rank = (
+            jnp.take_along_axis(
+                jnp.cumsum(onehot, axis=0), src[:, None], axis=1
+            )[:, 0]
+            - 1
+        )
+        out_a2a = recv[src, jnp.minimum(rank, cap - 1)]
+
+        # -- overflow fallback: the ring schedule, same index vector --
+        any_overflow = jax.lax.pmax(overflow, axis_name)
+
+        def ring_path(_):
+            def ring_step(r, carry):
+                held, out = carry
+                s = (me - r) % n_shards
+                rows = idx_me - s * chunk
+                want = (rows >= 0) & (rows < chunk)
+                picked = held[jnp.clip(rows, 0, chunk - 1)]
+                out = jnp.where(want[:, None], picked, out)
+                held = jax.lax.ppermute(held, axis_name, perm=ring)
+                return held, out
+
+            return jax.lax.fori_loop(
+                0, n_shards, ring_step, (block, jnp.zeros_like(block))
+            )[1]
+
+        return jax.lax.cond(
+            any_overflow, ring_path, lambda _: out_a2a, None
+        )
 
     sharded = NamedSharding(mesh, P(axis_name))
     return jax.jit(

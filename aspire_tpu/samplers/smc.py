@@ -916,7 +916,11 @@ class SMCSampler(Sampler):
         windowed_tau = waste_free or bool(
             self.sampler_kwargs.get("windowed_tau", False)
         )
-        use_ring = self.resampling_impl == "ring" and self.mesh is not None
+        collective_impl = (
+            self.resampling_impl
+            if self.resampling_impl != "auto" and self.mesh is not None
+            else None
+        )
         mesh = self.mesh
         resampling_method = self.resampling_method
         if self.mesh is not None:
@@ -1019,13 +1023,21 @@ class SMCSampler(Sampler):
                 # M = n/k ancestors; the k-step chains are pooled back
                 # to n rows below.
                 n_chains = n // n_steps if waste_free else n
-                if use_ring:
-                    # Hand-rolled explicit-collective resample (weight
-                    # all-gather + ppermute ring); bit-identical to the
-                    # GSPMD gather for the same key.
-                    from ..ops.resampling import ring_resample_matrix
+                if collective_impl is not None:
+                    # Hand-rolled explicit-collective resample (ring or
+                    # bucketed all_to_all); bit-identical to the GSPMD
+                    # gather for the same key.
+                    from ..ops.resampling import (
+                        alltoall_resample_matrix,
+                        ring_resample_matrix,
+                    )
 
-                    x_r = ring_resample_matrix(
+                    matrix_resample = (
+                        ring_resample_matrix
+                        if collective_impl == "ring"
+                        else alltoall_resample_matrix
+                    )
+                    x_r = matrix_resample(
                         rs_key,
                         log_w.astype(dtype),
                         s["x"],
@@ -1326,11 +1338,11 @@ class SMCSampler(Sampler):
             samples.log_prior = self.shard_array(samples.log_prior)
             samples.log_likelihood = self.shard_array(samples.log_likelihood)
 
-        if self.resampling_impl == "ring" and self.mesh is None:
+        if self.resampling_impl != "auto" and self.mesh is None:
             raise ValueError(
-                "resampling_impl='ring' needs a mesh-sharded population "
-                "(pass mesh=... to the sampler); use 'auto' for "
-                "single-device runs."
+                f"resampling_impl={self.resampling_impl!r} needs a "
+                "mesh-sharded population (pass mesh=... to the "
+                "sampler); use 'auto' for single-device runs."
             )
         waste_free = bool(self.sampler_kwargs.get("waste_free", False))
         if waste_free:
@@ -1339,12 +1351,12 @@ class SMCSampler(Sampler):
                     "waste_free SMC requires a jit-traceable target "
                     "(the pooled chain states are gathered in-program)."
                 )
-            if self.resampling_impl == "ring":
+            if self.resampling_impl != "auto":
                 raise ValueError(
                     "waste_free SMC resamples M = n/k ancestors; the "
-                    "ring collective redistributes full populations "
-                    "only. Use resampling_impl='auto' with "
-                    "waste_free=True."
+                    "hand-rolled collectives redistribute full "
+                    "populations only. Use resampling_impl='auto' "
+                    "with waste_free=True."
                 )
             k = int(self.sampler_kwargs.get("n_steps") or 5 * self.dims)
             n_now = len(samples)

@@ -921,13 +921,14 @@ class SMCSamples(BaseSamples):
             rng = rng or np.random.default_rng()
             key = jax.random.key(int(rng.integers(2**31 - 1)))
         same_beta = beta == self.beta
-        if impl == "ring":
-            return self._resample_ring(
-                key, beta, n_samples, method, bool(same_beta)
+        if impl in ("ring", "alltoall"):
+            return self._resample_collective(
+                key, beta, n_samples, method, bool(same_beta), impl
             )
         if impl != "auto":
             raise ValueError(
-                f"Unknown resampling impl {impl!r}: use 'auto' or 'ring'."
+                f"Unknown resampling impl {impl!r}: use 'auto', 'ring' "
+                "or 'alltoall'."
             )
         x, ll, lp, lq = _resample_on_device(
             key,
@@ -966,24 +967,43 @@ class SMCSamples(BaseSamples):
             parameters=self.parameters,
         )
 
-    def _resample_ring(
-        self, key, beta, n_samples: int, method: str, same_beta: bool
+    def _resample_collective(
+        self,
+        key,
+        beta,
+        n_samples: int,
+        method: str,
+        same_beta: bool,
+        impl: str = "ring",
     ) -> "SMCSamples":
-        """Hand-rolled sharded resample (weight all-gather + ring)."""
-        from .ops.resampling import ring_resample_matrix
+        """Hand-rolled sharded resample with a pinned collective
+        schedule: ``impl="ring"`` streams blocks around a ppermute ring
+        (O(n * cols) bytes/device, any weight distribution);
+        ``impl="alltoall"`` exchanges only the rows that change shards
+        in bucketed all_to_all transfers (pod-scale bandwidth, with an
+        in-program ring fallback when weights concentrate)."""
+        from .ops.resampling import (
+            alltoall_resample_matrix,
+            ring_resample_matrix,
+        )
 
+        matrix_resample = (
+            ring_resample_matrix
+            if impl == "ring"
+            else alltoall_resample_matrix
+        )
         sharding = getattr(self.x, "sharding", None)
         if not (
             isinstance(sharding, jax.sharding.NamedSharding)
             and sharding.spec
         ):
             raise ValueError(
-                "impl='ring' needs a mesh-sharded population; use "
+                f"impl={impl!r} needs a mesh-sharded population; use "
                 "impl='auto' for single-device runs."
             )
         if n_samples != len(self.x):
             raise ValueError(
-                "impl='ring' resamples the full population "
+                f"impl={impl!r} resamples the full population "
                 "(n_samples == n)."
             )
         if same_beta:
@@ -1011,7 +1031,7 @@ class SMCSamples(BaseSamples):
         resampled = {}
         for dt, names in groups.items():
             packed = jnp.concatenate([fields[n] for n in names], axis=1)
-            out = ring_resample_matrix(
+            out = matrix_resample(
                 key,
                 log_w,
                 packed,

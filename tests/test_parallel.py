@@ -486,3 +486,102 @@ class TestRingInDeviceLadder:
         assert global_matrix_collectives(ring_text) == 0
         assert block_permutes(ring_text) > 0
         assert block_permutes(auto_text) == 0
+
+
+class TestAllToAllResampling:
+    """Pod-scale bucketed all_to_all redistribution (SURVEY.md §5):
+    only rows that change shards move; overflow falls back to the ring
+    in-program."""
+
+    def _inputs(self, mesh, rng, n=512, d=3):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sh = NamedSharding(mesh, P("data"))
+        key = jax.random.key(7)
+        lw = jax.device_put(
+            jnp.asarray(rng.normal(size=n), jnp.float32), sh
+        )
+        x = jax.device_put(
+            jnp.asarray(rng.normal(size=(n, d)), jnp.float32), sh
+        )
+        return key, lw, x
+
+    def test_bit_exact_vs_gspmd_and_ring(self, mesh, rng):
+        from aspire_tpu.ops import resampling as R
+
+        key, lw, x = self._inputs(mesh, rng)
+        n = lw.shape[0]
+        ref = x[R.get_resampler("systematic")(key, lw, n)]
+        ring = R.ring_resample_matrix(key, lw, x, mesh)
+        a2a = R.alltoall_resample_matrix(key, lw, x, mesh)
+        np.testing.assert_array_equal(np.asarray(a2a), np.asarray(ref))
+        np.testing.assert_array_equal(np.asarray(a2a), np.asarray(ring))
+        assert a2a.sharding.spec == particle_sharding(mesh).spec
+
+    def test_overflow_falls_back_to_ring(self, mesh, rng):
+        """All weight on one particle: every (src, dst) bucket bound is
+        blown, the in-program ring fallback must still be exact."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from aspire_tpu.ops import resampling as R
+
+        key, _, x = self._inputs(mesh, rng)
+        n = x.shape[0]
+        sh = NamedSharding(mesh, P("data"))
+        lw = jax.device_put(
+            jnp.where(jnp.arange(n) == 3, 50.0, -50.0).astype(
+                jnp.float32
+            ),
+            sh,
+        )
+        ref = x[R.get_resampler("systematic")(key, lw, n)]
+        a2a = R.alltoall_resample_matrix(key, lw, x, mesh)
+        np.testing.assert_array_equal(np.asarray(a2a), np.asarray(ref))
+
+    def test_schedule_contains_alltoall_not_full_ring(self, mesh, rng):
+        """Collective-count assertion: the a2a program contains an
+        all-to-all exchange of the capped buckets; the ring program
+        contains none (it only ppermutes full blocks)."""
+        from aspire_tpu.ops import resampling as R
+
+        key, lw, x = self._inputs(mesh, rng)
+        a2a_fn = R._build_alltoall_resampler(mesh, "data", "systematic", 32)
+        ring_fn = R._build_ring_resampler(mesh, "data", "systematic")
+        a2a_text = a2a_fn.lower(key, lw, x).compile().as_text()
+        ring_text = ring_fn.lower(key, lw, x).compile().as_text()
+        assert "all-to-all" in a2a_text
+        assert "all-to-all" not in ring_text
+
+    def test_full_smc_run_matches_auto(self, mesh, rng):
+        from aspire_tpu.flows import Flow
+        from aspire_tpu.models import GaussianProblem
+        from aspire_tpu.samplers import PCNSMC
+
+        p = GaussianProblem(dims=2)
+        flow = Flow(dims=2, architecture="maf", key=0, n_layers=2)
+        flow.fit(
+            p.draw_initial_samples(np.random.default_rng(3), 800),
+            n_epochs=5,
+            batch_size=256,
+        )
+
+        def run(impl):
+            sampler = PCNSMC(
+                log_likelihood=p.log_likelihood,
+                log_prior=p.log_prior,
+                dims=2,
+                prior_flow=flow,
+                parameters=p.parameters,
+                rng=jax.random.key(5),
+                mesh=mesh,
+                resampling_impl=impl,
+            )
+            out = sampler.sample(256, sampler_kwargs={"n_steps": 4})
+            return out, sampler.history
+
+        s_a2a, h_a2a = run("alltoall")
+        s_auto, h_auto = run("auto")
+        assert h_a2a.beta == pytest.approx(h_auto.beta, rel=1e-6)
+        assert float(s_a2a.log_evidence) == pytest.approx(
+            float(s_auto.log_evidence), abs=1e-6
+        )
