@@ -519,38 +519,60 @@ def prepare_maf_params(arch, params: dict) -> list[jax.Array]:
     return out
 
 
+def _made_matmuls(w_refs, n_dense, layer, x, dtype):
+    """One MADE evaluation (mask-premultiplied weights) on the MXU."""
+    h = x
+    for j in range(n_dense):
+        w = w_refs[2 * j][layer]
+        b = w_refs[2 * j + 1][layer]
+        h = _conditioner_dot(w, h, dtype) + b
+        if j < n_dense - 1:
+            h = jax.nn.relu(h)
+    return h
+
+
+def _maf_layer_transform(arch, x, h):
+    """RQS of all dims + row reversal (MAF.forward's z[:, ::-1])."""
+    d = arch.dims
+    G = _group_size(arch)
+    hg = h.reshape(d, G, h.shape[-1])
+    y, eld = _rqs_rows(
+        x, hg, arch.num_bins, arch.tail_bound, inverse=True
+    )
+    rows = [y[i : i + 1, :] for i in reversed(range(d))]
+    x = jnp.concatenate(rows, axis=0) if d > 1 else rows[0]
+    return x, jnp.sum(eld, axis=0, keepdims=True)
+
+
 def _maf_kernel(arch, n_dense: int, xt_ref, *refs):
     """MAF density pass, features-on-sublanes: per layer one MADE
-    evaluation + RQS of all dims + row reversal."""
+    evaluation + RQS of all dims + row reversal. Same two-lane-half
+    MXU/VPU software pipeline as :func:`_coupling_kernel`."""
     w_refs = refs[: 2 * n_dense]
     zt_ref, ld_ref = refs[2 * n_dense], refs[2 * n_dense + 1]
 
-    d = arch.dims
-    G = _group_size(arch)
+    T = xt_ref.shape[-1]
+    H = T // 2
+    x_a = xt_ref[:, :H]
+    x_b = xt_ref[:, H:]
+    dtype = x_a.dtype
+    ld_a = jnp.zeros((1, H), dtype=dtype)
+    ld_b = jnp.zeros((1, H), dtype=dtype)
 
-    x = xt_ref[:]  # (d, T)
-    dtype = x.dtype
-    ld = jnp.zeros(ld_ref.shape, dtype=dtype)  # (1, T)
-
+    h_a = _made_matmuls(w_refs, n_dense, 0, x_a, dtype)
     for layer in range(arch.n_layers):
-        h = x
-        for j in range(n_dense):
-            w = w_refs[2 * j][layer]
-            b = w_refs[2 * j + 1][layer]
-            h = _conditioner_dot(w, h, dtype) + b
-            if j < n_dense - 1:
-                h = jax.nn.relu(h)
-        hg = h.reshape(d, G, h.shape[-1])
-        y, eld = _rqs_rows(
-            x, hg, arch.num_bins, arch.tail_bound, inverse=True
-        )
-        ld = ld + jnp.sum(eld, axis=0, keepdims=True)
-        # Reverse permutation between layers (MAF.forward's z[:, ::-1]).
-        rows = [y[i : i + 1, :] for i in reversed(range(d))]
-        x = jnp.concatenate(rows, axis=0) if d > 1 else rows[0]
+        h_b = _made_matmuls(w_refs, n_dense, layer, x_b, dtype)
+        x_a, e_a = _maf_layer_transform(arch, x_a, h_a)
+        ld_a = ld_a + e_a
+        if layer + 1 < arch.n_layers:
+            h_a = _made_matmuls(w_refs, n_dense, layer + 1, x_a, dtype)
+        x_b, e_b = _maf_layer_transform(arch, x_b, h_b)
+        ld_b = ld_b + e_b
 
-    zt_ref[:] = x
-    ld_ref[:] = ld
+    zt_ref[:, :H] = x_a
+    zt_ref[:, H:] = x_b
+    ld_ref[:, :H] = ld_a
+    ld_ref[:, H:] = ld_b
 
 
 def _pallas_maf_forward(arch, prepared, x, interpret=None):
@@ -558,9 +580,12 @@ def _pallas_maf_forward(arch, prepared, x, interpret=None):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n_dense = len(prepared) // 2
+    # Two-lane-half pipeline: tiles are 2 x _TILE, multiples of 256
+    # (see _pallas_apply).
     rows = max(d * _group_size(arch), 1)
-    tile_budget = max(128, (98_304 // rows) // 128 * 128)
-    tile = min(_TILE, tile_budget, _round_up(n, 128))
+    tile_budget = max(256, (98_304 // rows) // 128 * 128)
+    tile = min(2 * _TILE, tile_budget, _round_up(n, 256))
+    tile = max(256, tile // 256 * 256)
     grid = (pl.cdiv(n, tile),)
 
     kernel = functools.partial(_maf_kernel, arch, n_dense)
