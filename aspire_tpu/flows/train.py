@@ -12,14 +12,16 @@ TPU-first details:
 - data-parallel training over a mesh: batches are sharded over the
   ``data`` axis with ``NamedSharding``; XLA inserts the gradient psum
   (SURVEY.md §2.2 DP row);
-- early stopping/patience/best-state bookkeeping stays on host between
-  epochs (cheap scalars only).
+- epochs run in chunks of ``epochs_per_dispatch`` per device dispatch
+  with best-state/patience tracked ON device, so remote backends pay
+  one round-trip per chunk instead of two per epoch.
 """
 
 from __future__ import annotations
 
 import dataclasses
 import logging
+from functools import partial
 from typing import Callable
 
 import jax
@@ -43,6 +45,14 @@ class TrainConfig:
     max_grad_norm: float = 5.0
     weight_decay: float = 0.0
     min_delta: float = 0.0
+    #: epochs executed per device dispatch. Remote/tunneled backends
+    #: pay a round-trip per dispatch AND per host fetch; scanning k
+    #: epochs per dispatch cuts that overhead k-fold. Best-state and
+    #: patience tracking move on device so nothing is lost between
+    #: fetches; early stopping is still honored between chunks (a run
+    #: can overshoot the stopping epoch by at most k - 1 epochs of
+    #: extra training, which never changes the returned best params).
+    epochs_per_dispatch: int = 8
 
 
 def fit_flow(
@@ -105,13 +115,8 @@ def fit_flow(
             if n_val_even:
                 x_val = jax.device_put(x_val[:n_val_even], sharding)
 
-    @jax.jit
-    def train_epoch(params, opt_state, x_train, x_val, key):
-        """One epoch: permute, scan over minibatches, validate.
-
-        Train + validation losses come back together, so each epoch is
-        one dispatch and one host fetch.
-        """
+    def one_epoch(params, opt_state, x_train, x_val, key):
+        """One epoch: permute, scan over minibatches, validate."""
         perm_key, loss_key, val_key = jax.random.split(key, 3)
         order = jax.random.permutation(perm_key, n_train)
         batches = x_train[order[: n_batches * batch_size]].reshape(
@@ -137,33 +142,95 @@ def fit_flow(
             val_loss = train_loss
         return params, opt_state, train_loss, val_loss
 
-    history = FlowHistory()
-    best_val = np.inf
-    best_params = params
-    patience_counter = 0
+    chunk = max(min(int(config.epochs_per_dispatch), config.n_epochs), 1)
 
-    for epoch in range(config.n_epochs):
-        key, epoch_key = jax.random.split(key)
-        params, opt_state, train_arr, val_arr = train_epoch(
-            params, opt_state, x_train, x_val, epoch_key
+    @jax.jit
+    def train_chunk(state, x_train, x_val, key, n_active):
+        """``chunk`` epochs in ONE dispatch, best-state/patience on
+        device.
+
+        The carry tracks the running best validation loss, a copy of
+        the best parameters, and the epochs-since-improvement counter,
+        so a chunked run loses nothing relative to per-epoch host
+        bookkeeping. A final partial chunk masks its trailing epochs
+        (``lax.cond`` pass-through) instead of compiling a second
+        program for the remainder size.
+        """
+
+        def epoch_step(carry, idx_and_key):
+            idx, ekey = idx_and_key
+            params, opt_state, best_val, best_params, since = carry
+
+            def run(_):
+                new_p, new_o, train_loss, val_loss = one_epoch(
+                    params, opt_state, x_train, x_val, ekey
+                )
+                improved = val_loss < best_val - config.min_delta
+                return (
+                    new_p,
+                    new_o,
+                    jnp.where(improved, val_loss, best_val),
+                    jax.tree.map(
+                        lambda new, old: jnp.where(improved, new, old),
+                        new_p,
+                        best_params,
+                    ),
+                    jnp.where(improved, 0, since + 1),
+                    train_loss,
+                    val_loss,
+                )
+
+            def skip(_):
+                nan = jnp.asarray(jnp.nan, dtype=x.dtype)
+                return (
+                    params, opt_state, best_val, best_params, since,
+                    nan, nan,
+                )
+
+            *carry, train_loss, val_loss = jax.lax.cond(
+                idx < n_active, run, skip, None
+            )
+            return tuple(carry), (train_loss, val_loss)
+
+        return jax.lax.scan(
+            epoch_step,
+            state,
+            (jnp.arange(chunk), jax.random.split(key, chunk)),
         )
-        train_loss, val_loss = map(float, jax.device_get((train_arr, val_arr)))
-        history.training_loss.append(train_loss)
-        history.validation_loss.append(val_loss)
 
-        if val_loss < best_val - config.min_delta:
-            best_val = val_loss
-            best_params = params
-            patience_counter = 0
-        else:
-            patience_counter += 1
-        if patience_counter >= config.patience:
+    history = FlowHistory()
+    state = (
+        params,
+        opt_state,
+        jnp.asarray(np.inf, dtype=x.dtype),
+        params,
+        jnp.asarray(0, jnp.int32),
+    )
+    epochs_done = 0
+    while epochs_done < config.n_epochs:
+        k = min(chunk, config.n_epochs - epochs_done)
+        key, chunk_key = jax.random.split(key)
+        state, (train_arr, val_arr) = train_chunk(
+            state, x_train, x_val, chunk_key, jnp.asarray(k, jnp.int32)
+        )
+        train_losses, val_losses, since = jax.device_get(
+            (train_arr, val_arr, state[4])
+        )
+        history.training_loss.extend(map(float, train_losses[:k]))
+        history.validation_loss.extend(map(float, val_losses[:k]))
+        epochs_done += k
+        if int(since) >= config.patience:
             logger.info(
-                "Early stopping at epoch %d (best val loss %.4f)",
-                epoch,
-                best_val,
+                "Early stopping after epoch %d (best val loss %.4f)",
+                epochs_done,
+                float(jax.device_get(state[2])),
             )
             break
 
-    logger.debug("Final val loss: %.4f (best %.4f)", val_loss, best_val)
+    best_params = state[3]
+    logger.debug(
+        "Final val loss: %.4f (best %.4f)",
+        history.validation_loss[-1] if history.validation_loss else np.nan,
+        float(jax.device_get(state[2])),
+    )
     return best_params, history
