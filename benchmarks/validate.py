@@ -58,6 +58,18 @@ def analytic_log_z(problem) -> float:
     name = type(problem).__name__
     if name == "GaussianProblem":
         return float(problem.true_log_evidence)
+    if name == "RosenbrockProblem":
+        # 2-d quadrature truth (6001^2 grid converges to 4 decimals;
+        # refined-grid check in benchmarks/RESULTS.md notes).
+        assert problem.dims == 2
+        from scipy.special import logsumexp as lse
+
+        g = np.linspace(problem.lower, problem.upper, 6001)
+        dx = g[1] - g[0]
+        X, Y = np.meshgrid(g, g, indexing="ij")
+        ll = -(100.0 * (Y - X**2) ** 2 + (1 - X) ** 2)
+        width = problem.upper - problem.lower
+        return float(lse(ll) + 2 * np.log(dx) - 2 * np.log(width))
     if name == "GaussianMixtureProblem":
         def comp(mu, var):
             d = len(mu)
@@ -89,6 +101,7 @@ def main() -> None:
     from aspire_tpu.models import (
         GaussianMixtureProblem,
         GaussianProblem,
+        RosenbrockProblem,
     )
 
     configure_logger("WARNING")
@@ -102,6 +115,15 @@ def main() -> None:
             GaussianMixtureProblem(dims=4),
             lambda rng: GaussianMixtureProblem(
                 dims=4
+            ).draw_initial_samples(rng, 8192),
+        ),
+        # Curved (banana) non-Gaussian target with a quadrature truth:
+        # exercises the bounded transforms + flow on a geometry the two
+        # Gaussian targets cannot.
+        (
+            RosenbrockProblem(dims=2),
+            lambda rng: RosenbrockProblem(
+                dims=2
             ).draw_initial_samples(rng, 8192),
         ),
     ]:
