@@ -330,6 +330,122 @@ class SMCSampler(Sampler):
 
         return flow_log_prob, self.flow_state()
 
+    def flow_sample_fn(self):
+        """Pure ``(flow_state, key, n) -> (x, log_q)`` flow sampler."""
+        flow = self.prior_flow
+        arch = flow.architecture
+        dims = self.dims
+        dtype = jnp.dtype(self.dtype) if self.dtype else jnp.float32
+
+        def flow_sample(flow_state, key, n):
+            from ..flows.bijectors import (
+                standard_normal_log_prob,
+                standard_normal_sample,
+            )
+
+            params, data_transform = flow_state
+            z = standard_normal_sample(key, (n, dims), dtype=dtype)
+            x_t, log_det = arch.inverse(params, z)
+            log_q = standard_normal_log_prob(z) - log_det
+            x, log_j = data_transform.inverse(x_t)
+            return x, log_q - log_j
+
+        return flow_sample
+
+    def _make_flow_imh_step(
+        self,
+        local_step,
+        log_prob_fn,
+        flow_state,
+        beta,
+        flow_move_every: int,
+        needs_grad: bool,
+    ):
+        """Mix an independence-MH move from the FLOW into a local kernel.
+
+        Each chain step is, with probability ``1/flow_move_every``, a
+        Metropolis move whose proposal is a fresh draw from the flow
+        proposal itself. For the tempered target
+        ``p_t ∝ q^(1-beta) (L pi)^beta`` and proposal ``q``, the
+        acceptance log-ratio collapses to ``beta * (w' - w)`` with
+        ``w = logL + logPi - log q`` — the importance log-weight. The
+        move teleports particles between modes the LOCAL kernel cannot
+        cross, fixing the mode-weight relaxation bias of short
+        Langevin/pCN chains on multimodal targets. Both component
+        kernels leave ``p_t`` invariant, so the mixture does too.
+        """
+        flow_sample = self.flow_sample_fn()
+        flow_log_prob, _ = self.flow_log_prob_params()
+        log_likelihood = self.log_likelihood
+        log_prior = self.log_prior
+        make_view = self._make_view
+        p_move = 1.0 / float(flow_move_every)
+
+        def imh_step(state):
+            n = state.x.shape[0]
+            key, k_prop, k_acc = jax.random.split(state.key, 3)
+            x_prop, lq_prop = flow_sample(flow_state, k_prop, n)
+            # The chain may carry a wider dtype than the flow (x64
+            # parity tests); keep the cond branches type-identical.
+            x_prop = x_prop.astype(state.x.dtype)
+            lq_prop = lq_prop.astype(state.x.dtype)
+            view = make_view(x_prop)
+            llpi_prop = (
+                jnp.asarray(log_prior(view)).reshape(-1)
+                + jnp.asarray(log_likelihood(view)).reshape(-1)
+            ).astype(state.x.dtype)
+            llpi_prop = jnp.where(
+                jnp.isnan(llpi_prop), -jnp.inf, llpi_prop
+            )
+            lq_cur = flow_log_prob(flow_state, state.x).astype(
+                state.x.dtype
+            )
+            # w' - w in one line: beta*w' - (log_p_t(x) - lq(x)) since
+            # log_p_t - lq = beta * w.
+            log_alpha = beta * (llpi_prop - lq_prop) - (
+                state.log_prob - lq_cur
+            )
+            accept = (
+                jnp.log(jax.random.uniform(k_acc, (n,), state.x.dtype))
+                < log_alpha
+            )
+            new_x = jnp.where(accept[:, None], x_prop, state.x)
+            lp_prop = (
+                (1 - beta) * lq_prop + beta * llpi_prop
+            ).astype(state.log_prob.dtype)
+            new_lp = jnp.where(accept, lp_prop, state.log_prob)
+            extra = n  # the proposal's target evaluation
+            if needs_grad:
+                # Gradient-carrying kernels (MALA/HMC) need the grad at
+                # the post-move positions; refresh for the whole batch.
+                new_lp, new_grad = _value_and_grad_batch(
+                    log_prob_fn, new_x
+                )
+                extra += n
+            else:
+                new_grad = state.grad
+            return state._replace(
+                x=new_x,
+                log_prob=new_lp,
+                key=key,
+                n_accept=state.n_accept + accept.astype(state.x.dtype),
+                grad=new_grad,
+                n_evals=(
+                    None
+                    if state.n_evals is None
+                    else K.eval_counter_add(state.n_evals, extra)
+                ),
+            )
+
+        def mixed_step(state):
+            key, k_sel = jax.random.split(state.key)
+            do_move = jax.random.bernoulli(k_sel, p_move)
+            return jax.lax.cond(
+                do_move, imh_step, local_step, state._replace(key=key)
+            )
+
+        return mixed_step
+
     def make_tempered_log_prob(self) -> Callable:
         """Tempered log-density in the preconditioned space.
 
@@ -391,6 +507,16 @@ class SMCSampler(Sampler):
             windowed_tau = (
                 bool(kwargs.get("windowed_tau", False)) or waste_free
             )
+        if kwargs.get("flow_moves"):
+            if self.preconditioning_transform is not None:
+                raise ValueError(
+                    "flow_moves independence steps propose in the "
+                    "flow's own space; run with preconditioning=None."
+                )
+            if not self.target_is_jittable():
+                raise ValueError(
+                    "flow_moves requires a jit-traceable target."
+                )
 
         with self.profiler.phase("mutate/fit_precond"):
             z = self.fit_preconditioning_transform(samples.x)
@@ -540,6 +666,8 @@ class SMCSampler(Sampler):
             log_likelihood = self.log_likelihood
             log_prior = self.log_prior
             make_view = self._make_view
+            make_imh = self._make_flow_imh_step
+            flow_move_every = int(kwargs.get("flow_moves") or 0)
             if self.mesh is not None:
                 from ..parallel.mesh import particle_sharding
 
@@ -562,6 +690,15 @@ class SMCSampler(Sampler):
                 )
                 ref = K.fit_gaussian_reference(z)
                 step_fn, init_step, needs_grad = builder(log_prob_fn, ref)
+                if flow_move_every:
+                    step_fn = make_imh(
+                        step_fn,
+                        log_prob_fn,
+                        flow_state,
+                        beta,
+                        flow_move_every,
+                        needs_grad,
+                    )
                 if not use_carry:
                     step0 = jnp.asarray(init_step, dtype=z.dtype)
                 if needs_grad:
@@ -913,6 +1050,8 @@ class SMCSampler(Sampler):
         make_view = self._make_view
         resampler = get_resampler(self.resampling_method)
         adaptive_min_step = self.adaptive_min_beta_step
+        make_imh = self._make_flow_imh_step
+        flow_move_every = int(self.sampler_kwargs.get("flow_moves") or 0)
         windowed_tau = waste_free or bool(
             self.sampler_kwargs.get("windowed_tau", False)
         )
@@ -1061,6 +1200,15 @@ class SMCSampler(Sampler):
                 )
                 ref = K.fit_gaussian_reference(x_r)
                 step_fn, init_step, needs_grad = builder(lp_fn, ref)
+                if flow_move_every:
+                    step_fn = make_imh(
+                        step_fn,
+                        lp_fn,
+                        flow_state,
+                        beta,
+                        flow_move_every,
+                        needs_grad,
+                    )
                 if needs_grad:
                     lp0, grad0 = _value_and_grad_batch(lp_fn, x_r)
                 else:

@@ -33,6 +33,11 @@ SAMPLERS = [
     # own mode-collapse bias; 5 independent replicates report the
     # between-run spread instead (the jackknife tier).
     ("mala_smc", {"sampler_kwargs": {"n_steps": 10}, "n_replicates": 5}),
+    # Same configuration with BOTH mitigations: flow-independence
+    # moves (global mode teleports inside the local chains) and the
+    # replicated bar.
+    ("mala_smc", {"sampler_kwargs": {"n_steps": 10, "flow_moves": 5},
+                  "n_replicates": 5}),
     # Windowed (Sokal) tau A/B against the default AR(1) surrogate:
     # same run config, tau recorded from stored chains.
     ("smc", {"sampler_kwargs": {"n_steps": 20, "windowed_tau": True}}),
@@ -45,6 +50,8 @@ def _label(sampler: str, kwargs: dict) -> str:
     label = sampler
     if kwargs.get("device_ladder"):
         label += "+device_ladder"
+    if (kwargs.get("sampler_kwargs") or {}).get("flow_moves"):
+        label += "+flow_moves"
     if kwargs.get("n_replicates"):
         label += f"+jackknife{kwargs['n_replicates']}"
     if (kwargs.get("sampler_kwargs") or {}).get("windowed_tau"):

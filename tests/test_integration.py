@@ -558,3 +558,53 @@ def test_windowed_tau_recorded(fitted_aspire):
         taus = fitted_aspire.sampler.history.mcmc_autocorr
         assert len(taus) >= 1
         assert all(t >= 1.0 for t in taus)
+
+
+class TestFlowIndependenceMoves:
+    """flow_moves=k mixes independence-MH proposals from the flow into
+    the local mutation kernel (acceptance beta*(w' - w)): a mixture of
+    p_t-invariant kernels, giving local kernels global mode moves."""
+
+    def test_preserves_accuracy_on_gaussian(self, fitted_aspire):
+        post = fitted_aspire.sample_posterior(
+            n_samples=512, sampler="smc",
+            sampler_kwargs={"n_steps": 8, "flow_moves": 3},
+        )
+        assert float(post.log_evidence) == pytest.approx(
+            TRUE_LOG_Z, abs=0.5
+        )
+
+    def test_works_with_gradient_kernels_and_ladder(self, fitted_aspire):
+        for ladder in (False, True):
+            post = fitted_aspire.sample_posterior(
+                n_samples=256, sampler="mala_smc",
+                sampler_kwargs={"n_steps": 6, "flow_moves": 3},
+                device_ladder=ladder,
+            )
+            assert float(post.log_evidence) == pytest.approx(
+                TRUE_LOG_Z, abs=0.6
+            )
+
+    def test_rejects_preconditioning(self, fitted_aspire):
+        with pytest.raises(ValueError, match="preconditioning"):
+            fitted_aspire.sample_posterior(
+                n_samples=128, sampler="smc",
+                preconditioning="flow",
+                sampler_kwargs={"n_steps": 4, "flow_moves": 2},
+                device_ladder=False,
+            )
+
+    def test_rejects_non_jittable(self, initial_samples):
+        asp = Aspire(
+            log_likelihood=host_log_likelihood,
+            log_prior=log_prior,
+            dims=DIMS,
+            prior_bounds={f"x_{i}": [-10, 10] for i in range(DIMS)},
+            seed=0,
+        )
+        asp.fit(initial_samples, n_epochs=5, batch_size=256)
+        with pytest.raises(ValueError, match="jit-traceable"):
+            asp.sample_posterior(
+                n_samples=100, sampler="smc",
+                sampler_kwargs={"n_steps": 4, "flow_moves": 2},
+            )
