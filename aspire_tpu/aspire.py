@@ -229,17 +229,22 @@ class Aspire:
         if checkpoint_path is None and policy is not None:
             checkpoint_path = policy.path
             checkpoint_save_config = policy.owes("config")
+        # The ledger only tracks the POLICY's file: writes a caller
+        # routes to some other explicit path never settle it.
+        on_policy_file = (
+            policy is not None and str(checkpoint_path) == policy.path
+        )
         if checkpoint_path is not None:
             with AspireFile(checkpoint_path, "a") as h5_file:
                 if checkpoint_save_config:
                     self.save_config(h5_file, "aspire_config")
-                    if policy is not None:
+                    if on_policy_file:
                         policy.settle("config")
                 if "flow" in h5_file and overwrite:
                     del h5_file["flow"]
                 if "flow" not in h5_file:
                     self.save_flow(h5_file)
-                    if policy is not None:
+                    if on_policy_file:
                         policy.settle("flow")
         return history
 
@@ -437,6 +442,9 @@ class Aspire:
             checkpoint_path = policy.path
             checkpoint_every = policy.every
             checkpoint_save_config = policy.owes("config")
+        on_policy_file = (
+            policy is not None and str(checkpoint_path) == policy.path
+        )
         if checkpoint_path is not None:
             sample_params = signature(self._sampler.sample).parameters
             if not {"checkpoint_file_path", "checkpoint_every"}.issubset(
@@ -453,12 +461,12 @@ class Aspire:
             # The flow goes into the file BEFORE sampling so an
             # interrupted run still resumes with its proposal.
             if self.flow is not None and (
-                policy is None or policy.owes("flow")
+                not on_policy_file or policy.owes("flow")
             ):
                 with AspireFile(checkpoint_path, "a") as h5_file:
                     if "flow" not in h5_file:
                         self.save_flow(h5_file)
-                    if policy is not None:
+                    if on_policy_file:
                         policy.settle("flow")
 
         # Drop kwargs the sampler's sample() signature does not accept.
@@ -495,7 +503,7 @@ class Aspire:
             with AspireFile(checkpoint_path, "a") as h5_file:
                 if checkpoint_save_config:
                     self.save_config(h5_file, "aspire_config")
-                    if policy is not None:
+                    if on_policy_file:
                         policy.settle("config")
                 # The sampler record (type + recorded sample call) is
                 # refreshed after every run so a resume always knows
@@ -504,11 +512,11 @@ class Aspire:
                 # ``fit``.
                 self.save_sampler_config(h5_file, include_sample_calls="last")
                 if self.flow is not None and (
-                    policy is None or policy.owes("flow")
+                    not on_policy_file or policy.owes("flow")
                 ):
                     if "flow" not in h5_file:
                         self.save_flow(h5_file)
-                    if policy is not None:
+                    if on_policy_file:
                         policy.settle("flow")
 
         samples.parameters = self.parameters
@@ -671,8 +679,11 @@ class Aspire:
                 if run.config is not None:
                     self._checkpoints.settle("config")
                 if run.load_flow_into(self, required=False):
-                    self._skip_fit = True
                     self._checkpoints.settle("flow")
+                # Reference parity (aspire.py:699-733): a resumed
+                # context skips retraining whenever a flow is in hand —
+                # loaded from the file or already on the orchestrator.
+                self._skip_fit = self.flow is not None
         try:
             yield self
         finally:

@@ -47,11 +47,12 @@ class TrainConfig:
     min_delta: float = 0.0
     #: epochs executed per device dispatch. Remote/tunneled backends
     #: pay a round-trip per dispatch AND per host fetch; scanning k
-    #: epochs per dispatch cuts that overhead k-fold. Best-state and
-    #: patience tracking move on device so nothing is lost between
-    #: fetches; early stopping is still honored between chunks (a run
-    #: can overshoot the stopping epoch by at most k - 1 epochs of
-    #: extra training, which never changes the returned best params).
+    #: epochs per dispatch cuts that overhead k-fold. The stopping
+    #: epoch is exact (the host replays the best/patience recursion
+    #: over the fetched per-epoch losses and truncates the history
+    #: there); the device executes at most k - 1 epochs past it, and
+    #: the returned best-state considers those too — never worse by
+    #: validation loss than the per-epoch contract.
     epochs_per_dispatch: int = 8
 
 
@@ -207,25 +208,40 @@ def fit_flow(
         jnp.asarray(0, jnp.int32),
     )
     epochs_done = 0
-    while epochs_done < config.n_epochs:
+    # Host-side replay of the best/patience recursion over the fetched
+    # per-epoch losses: the stop EPOCH is exactly the one the
+    # per-epoch loop would have chosen (mid-chunk), and the history is
+    # truncated there. The returned parameters come from the device
+    # carry, which has seen every executed epoch of the chunk — by
+    # construction never worse in validation loss than the per-epoch
+    # contract's choice.
+    best_val_h = np.inf
+    since_h = 0
+    stop = False
+    while epochs_done < config.n_epochs and not stop:
         k = min(chunk, config.n_epochs - epochs_done)
         key, chunk_key = jax.random.split(key)
         state, (train_arr, val_arr) = train_chunk(
             state, x_train, x_val, chunk_key, jnp.asarray(k, jnp.int32)
         )
-        train_losses, val_losses, since = jax.device_get(
-            (train_arr, val_arr, state[4])
-        )
-        history.training_loss.extend(map(float, train_losses[:k]))
-        history.validation_loss.extend(map(float, val_losses[:k]))
+        train_losses, val_losses = jax.device_get((train_arr, val_arr))
+        for i in range(k):
+            history.training_loss.append(float(train_losses[i]))
+            history.validation_loss.append(float(val_losses[i]))
+            if float(val_losses[i]) < best_val_h - config.min_delta:
+                best_val_h = float(val_losses[i])
+                since_h = 0
+            else:
+                since_h += 1
+            if since_h >= config.patience:
+                logger.info(
+                    "Early stopping at epoch %d (best val loss %.4f)",
+                    epochs_done + i + 1,
+                    best_val_h,
+                )
+                stop = True
+                break
         epochs_done += k
-        if int(since) >= config.patience:
-            logger.info(
-                "Early stopping after epoch %d (best val loss %.4f)",
-                epochs_done,
-                float(jax.device_get(state[2])),
-            )
-            break
 
     best_params = state[3]
     logger.debug(

@@ -204,24 +204,14 @@ class Sampler:
             return x, log_q, log_prior, log_likelihood
 
         if getattr(self, "_draw_batch_jit", None) is None:
-            flow = self.prior_flow
-            arch = flow.architecture
+            base_draw = self.flow_draw_fn()
             log_likelihood_fn = self.log_likelihood
             log_prior_fn = self.log_prior
             make_view = self._make_view
 
-            from ..flows.bijectors import (
-                standard_normal_log_prob,
-                standard_normal_sample,
-            )
-
             @partial(jax.jit, static_argnames=("n",))
             def draw(params, data_transform, key, n):
-                z = standard_normal_sample(key, (n, arch.dims), flow.dtype)
-                x_t, log_det = arch.inverse(params, z)
-                log_q = standard_normal_log_prob(z) - log_det
-                x, log_j = data_transform.inverse(x_t)
-                log_q = log_q - log_j
+                x, log_q = base_draw((params, data_transform), key, n)
                 view = make_view(x)
                 log_pi = jnp.asarray(log_prior_fn(view)).reshape(-1)
                 log_l = jnp.asarray(log_likelihood_fn(view)).reshape(-1)
@@ -237,6 +227,32 @@ class Sampler:
         )
         self.n_likelihood_evaluations += n_samples
         return x, log_q, log_pi, log_l
+
+    def flow_draw_fn(self):
+        """Pure ``(flow_state, key, n) -> (x, log_q)`` flow draw.
+
+        The single definition of the proposal-draw contract —
+        ``flow_state = (params, data_transform)`` rides through jit as
+        arguments. Used by the jitted initial draw and the SMC
+        flow-independence moves, so the two can never drift apart.
+        """
+        flow = self.prior_flow
+        arch = flow.architecture
+
+        from ..flows.bijectors import (
+            standard_normal_log_prob,
+            standard_normal_sample,
+        )
+
+        def draw(flow_state, key, n):
+            params, data_transform = flow_state
+            z = standard_normal_sample(key, (n, arch.dims), flow.dtype)
+            x_t, log_det = arch.inverse(params, z)
+            log_q = standard_normal_log_prob(z) - log_det
+            x, log_j = data_transform.inverse(x_t)
+            return x, log_q - log_j
+
+        return draw
 
     def draw_initial_samples(
         self, n_samples: int, max_attempts: int = 100

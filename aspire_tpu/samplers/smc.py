@@ -330,27 +330,6 @@ class SMCSampler(Sampler):
 
         return flow_log_prob, self.flow_state()
 
-    def flow_sample_fn(self):
-        """Pure ``(flow_state, key, n) -> (x, log_q)`` flow sampler."""
-        flow = self.prior_flow
-        arch = flow.architecture
-        dims = self.dims
-        dtype = jnp.dtype(self.dtype) if self.dtype else jnp.float32
-
-        def flow_sample(flow_state, key, n):
-            from ..flows.bijectors import (
-                standard_normal_log_prob,
-                standard_normal_sample,
-            )
-
-            params, data_transform = flow_state
-            z = standard_normal_sample(key, (n, dims), dtype=dtype)
-            x_t, log_det = arch.inverse(params, z)
-            log_q = standard_normal_log_prob(z) - log_det
-            x, log_j = data_transform.inverse(x_t)
-            return x, log_q - log_j
-
-        return flow_sample
 
     def _make_flow_imh_step(
         self,
@@ -374,7 +353,7 @@ class SMCSampler(Sampler):
         Langevin/pCN chains on multimodal targets. Both component
         kernels leave ``p_t`` invariant, so the mixture does too.
         """
-        flow_sample = self.flow_sample_fn()
+        flow_sample = self.flow_draw_fn()
         flow_log_prob, _ = self.flow_log_prob_params()
         log_likelihood = self.log_likelihood
         log_prior = self.log_prior
@@ -592,6 +571,12 @@ class SMCSampler(Sampler):
         if waste_free:
             raise ValueError(
                 "waste_free mutation requires a jit-traceable target."
+            )
+        if windowed_tau:
+            logger.warning(
+                "windowed_tau requires a jit-traceable target to store "
+                "the mutation chains; recording the AR(1) surrogate "
+                "tau instead."
             )
         with self.profiler.phase("mutate/fit_reference"):
             ref = K.fit_gaussian_reference(z)
@@ -1811,14 +1796,30 @@ class SMCSampler(Sampler):
             )
             # The final population's tau feeds no further evidence
             # increments, but it is the recorded mixing diagnostic of
-            # the returned samples — use the windowed estimate here
-            # (the chain is one extra (k, n, d) buffer, once).
+            # the returned samples — default to the windowed estimate
+            # when the (k, n, d) chain buffer is affordable (<= 2^27
+            # elements ~ 512 MB f32). An explicit sampler_kwargs
+            # windowed_tau always wins, in either direction.
+            user_tau = self.sampler_kwargs.get("windowed_tau")
+            k_final = int(
+                n_final_steps
+                or self.sampler_kwargs.get("n_steps")
+                or 5 * self.dims
+            )
+            chain_elems = k_final * n_final_samples * self.dims
+            final_windowed = (
+                bool(user_tau)
+                if user_tau is not None
+                else (
+                    self.target_is_jittable() and chain_elems <= 1 << 27
+                )
+            )
             samples = self.mutate(
                 final,
                 1.0,
                 n_steps=n_final_steps,
                 waste_free=False,
-                windowed_tau=self.target_is_jittable(),
+                windowed_tau=final_windowed,
             )
 
         samples.log_evidence = float(np.sum(self.history.log_norm_ratio))

@@ -98,9 +98,10 @@ def test_auto_checkpoint_resume_same_instance(
         assert history.training_loss == []
         samples = asp.sample_posterior(n_final_samples=400)
     assert len(samples) == 400
-    # Resume state restored after exiting the context.
-    assert not hasattr(asp, "_resume_from_default")
-    assert not hasattr(asp, "_checkpoint_defaults")
+    # Context exit restores the outer (empty) policy/resume/fit state.
+    assert asp._checkpoints is None
+    assert asp._resume is None
+    assert not asp._skip_fit
 
 
 def test_fit_skip_proven_by_raising_stub(checkpoint_file, initial_samples):
