@@ -240,3 +240,22 @@ def test_flow_preconditioning_hdf5_roundtrip(tmp_path, initial_samples):
     np.testing.assert_allclose(
         np.asarray(logj2), np.asarray(logj1), rtol=1e-5, atol=1e-6
     )
+
+
+def test_resume_from_file_resumes_recorded_sampler(checkpoint_file):
+    """The run file records the sampler type after every run, so a
+    resumed orchestrator continues SMC — it must not silently fall
+    back to the default importance sampler (a round-2 latent bug)."""
+    asp = Aspire.resume_from_file(
+        str(checkpoint_file),
+        log_likelihood=log_likelihood,
+        log_prior=log_prior,
+    )
+    assert asp._resume is not None
+    assert asp._resume.sampler_type == "smc"
+    samples = asp.sample_posterior(n_final_samples=250)
+    from aspire_tpu.samplers.smc import SMCSampler
+
+    assert isinstance(asp.sampler, SMCSampler)
+    # A completed checkpoint jumps straight to the final mutation.
+    assert len(samples) == 250
