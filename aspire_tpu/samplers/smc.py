@@ -619,6 +619,16 @@ class SMCSampler(Sampler):
         new.log_likelihood = self.evaluate_log_likelihood(new.x)
         if bool(jnp.isnan(new.log_q).any()):
             raise ValueError("Log proposal contains NaN values")
+        if bool(
+            jnp.isnan(new.log_prior).any()
+            | jnp.isnan(new.log_likelihood).any()
+        ):
+            # Same contract as the jitted path: a NaN would silently
+            # poison every subsequent ESS/evidence reduction.
+            raise ValueError(
+                "log_prior/log_likelihood returned NaN for mutated "
+                "particles (return -inf for invalid points instead)"
+            )
         return new
 
     def _mutate_on_device(
@@ -903,26 +913,17 @@ class SMCSampler(Sampler):
         ladder_phase.__exit__(None, None, None)
         self._lineage_fraction = float(f_lin)
         it = int(it)
-        if bool(stalled):
-            raise BetaScheduleError(
-                "Device ladder stalled: beta did not increase. Consider "
-                f"adjusting beta_tolerance ({beta_tolerance}), "
-                f"min_beta_step ({min_beta_step}) or the target "
-                "efficiency."
-            )
         n = len(samples)
+        # Replay completed rungs into the history and eval counter
+        # BEFORE any stall error: the diagnostics of the rungs that DID
+        # run are exactly what the error message tells the user to
+        # study.
+        self._replay_ladder_history(
+            self.history,
+            it,
+            beta_h, ess_h, ess1_h, ratio_h, var_h, acc_h, tau_h, lin_h,
+        )
         for i in range(it):
-            self.history.beta.append(float(beta_h[i]))
-            self.history.eff_target.append(
-                float(self.current_target_efficiency(float(beta_h[i])))
-            )
-            self.history.ess.append(float(ess_h[i]))
-            self.history.ess_target.append(float(ess1_h[i]))
-            self.history.log_norm_ratio.append(float(ratio_h[i]))
-            self.history.log_norm_ratio_var.append(float(var_h[i]))
-            self.history.mcmc_acceptance.append(float(acc_h[i]))
-            self.history.mcmc_autocorr.append(float(tau_h[i]))
-            self.history.lineage_fraction.append(float(lin_h[i]))
             logger.info(
                 "it %d - beta: %.6g  ESS: %.1f (%.2f eff)  "
                 "logZ ratio: %.3f",
@@ -935,6 +936,13 @@ class SMCSampler(Sampler):
         self.n_likelihood_evaluations += int(
             sum(K.eval_counter_total(v) for v in ev_h[:it])
         )
+        if bool(stalled):
+            raise BetaScheduleError(
+                "Device ladder stalled: beta did not increase. Consider "
+                f"adjusting beta_tolerance ({beta_tolerance}), "
+                f"min_beta_step ({min_beta_step}) or the target "
+                "efficiency."
+            )
         n_chains = n // n_steps if waste_free else n
         self.profiler.add("particle_steps", it * n_steps * n_chains)
 
@@ -949,6 +957,30 @@ class SMCSampler(Sampler):
         new.log_likelihood = out["ll"]
         self._ladder_checkpoint_sink = None
         return new, it
+
+    def _replay_ladder_history(
+        self,
+        history,
+        it: int,
+        beta_h, ess_h, ess1_h, ratio_h, var_h, acc_h, tau_h, lin_h,
+    ) -> None:
+        """Append ``it`` rungs of device-ladder buffers to a history.
+
+        The single definition shared by the end-of-ladder replay and
+        the in-loop checkpoint reconstruction, so a new history field
+        cannot desynchronize the two."""
+        for i in range(it):
+            history.beta.append(float(beta_h[i]))
+            history.eff_target.append(
+                float(self.current_target_efficiency(float(beta_h[i])))
+            )
+            history.ess.append(float(ess_h[i]))
+            history.ess_target.append(float(ess1_h[i]))
+            history.log_norm_ratio.append(float(ratio_h[i]))
+            history.log_norm_ratio_var.append(float(var_h[i]))
+            history.mcmc_acceptance.append(float(acc_h[i]))
+            history.mcmc_autocorr.append(float(tau_h[i]))
+            history.lineage_fraction.append(float(lin_h[i]))
 
     def _ladder_checkpoint_host(
         self, x, ll, lpi, lq, beta, it, key_data, f_lin,
@@ -970,18 +1002,11 @@ class SMCSampler(Sampler):
         if (self._ladder_base_iteration + it) % every != 0:
             return  # honor checkpoint_every (host-side cadence filter)
         history = copy.deepcopy(self._ladder_history_base)
-        for i in range(it):
-            history.beta.append(float(beta_h[i]))
-            history.eff_target.append(
-                float(self.current_target_efficiency(float(beta_h[i])))
-            )
-            history.ess.append(float(ess_h[i]))
-            history.ess_target.append(float(ess1_h[i]))
-            history.log_norm_ratio.append(float(ratio_h[i]))
-            history.log_norm_ratio_var.append(float(var_h[i]))
-            history.mcmc_acceptance.append(float(acc_h[i]))
-            history.mcmc_autocorr.append(float(tau_h[i]))
-            history.lineage_fraction.append(float(lin_h[i]))
+        self._replay_ladder_history(
+            history,
+            it,
+            beta_h, ess_h, ess1_h, ratio_h, var_h, acc_h, tau_h, lin_h,
+        )
         samples = SMCSamples(
             x=np.asarray(x),
             beta=float(beta),
@@ -1023,6 +1048,10 @@ class SMCSampler(Sampler):
         """Build (and cache) the compiled whole-ladder program."""
         cache_key = ("ladder", n_steps, max_iters, with_checkpoint,
                      waste_free,
+                     # baked into the closure below — a second sample()
+                     # call with a different min-step mode must not
+                     # reuse a ladder compiled with the other one
+                     self.adaptive_min_beta_step,
                      tuple(sorted(self.sampler_kwargs.items())))
         if cache_key in self._mutate_cache:
             return self._mutate_cache[cache_key]
@@ -1257,6 +1286,16 @@ class SMCSampler(Sampler):
                 f_lin = f_lin + (1.0 - f_lin) * (
                     1.0 - rho ** (2 * n_steps)
                 ) * cstats.mixing
+                if waste_free:
+                    # Pooled chain states hold at most ~k/tau effective
+                    # draws per ancestor (host-parity division, see
+                    # _update_lineage_after_mutation).
+                    f_lin = f_lin / jnp.maximum(
+                        jnp.minimum(
+                            tau.astype(dtype), float(n_steps)
+                        ),
+                        1.0,
+                    )
 
                 i = s["it"]
                 new_state = {
@@ -1515,8 +1554,21 @@ class SMCSampler(Sampler):
             # of the full particle array; record them by default only
             # for plot-sized runs (the reference always records, but its
             # workloads are O(500) particles). On a multi-controller
-            # mesh the global array is not host-addressable at all.
-            store_sample_history = n_samples <= 10_000 and not multiprocess
+            # mesh the global array is not host-addressable at all, and
+            # an explicitly requested compiled ladder cannot surface
+            # per-rung snapshots either.
+            store_sample_history = (
+                n_samples <= 10_000
+                and not multiprocess
+                and device_ladder is not True
+            )
+        elif store_sample_history and device_ladder:
+            raise ValueError(
+                "device_ladder=True compiles the whole ladder into one "
+                "program and cannot record per-iteration sample "
+                "snapshots; use device_ladder=False with "
+                "store_sample_history=True."
+            )
         if store_sample_history and multiprocess:
             raise ValueError(
                 "store_sample_history gathers the full population to "
@@ -1628,7 +1680,14 @@ class SMCSampler(Sampler):
                 min_beta_step=min_beta_step,
                 max_beta_step=max_beta_step,
                 beta_tolerance=beta_tolerance,
-                max_iters=max_n_steps or device_ladder_max_iters,
+                # max_n_steps is a CUMULATIVE cap: a resumed run only
+                # gets the remaining budget (>= 1, mirroring the host
+                # loop's run-one-then-check semantics).
+                max_iters=(
+                    max(max_n_steps - iterations, 1)
+                    if max_n_steps is not None
+                    else device_ladder_max_iters
+                ),
                 checkpoint_callback=checkpoint_callback,
                 checkpoint_every=checkpoint_every,
             )
@@ -1768,10 +1827,15 @@ class SMCSampler(Sampler):
                 with self.profiler.phase("mutate"):
                     samples = self.mutate(samples, beta)
                 self._update_lineage_after_mutation()
+                k_steps = int(
+                    self.sampler_kwargs.get("n_steps") or 5 * self.dims
+                )
+                # Waste-free runs only M = n/k chains for k steps.
+                n_chains_done = (
+                    len(samples) // k_steps if waste_free else len(samples)
+                )
                 self.profiler.add(
-                    "particle_steps",
-                    len(samples)
-                    * (self.sampler_kwargs.get("n_steps") or 5 * self.dims),
+                    "particle_steps", n_chains_done * k_steps
                 )
                 if store_sample_history:
                     self.history.sample_history.append(samples.to_numpy())
@@ -1788,6 +1852,24 @@ class SMCSampler(Sampler):
                     logger.warning(
                         "Final samples contain non-finite %s values", name
                     )
+            if float(samples.beta or 0.0) < 1.0:
+                # A max_n_steps-capped ladder stopped short of beta=1;
+                # the final resample below reweights beta_last -> 1, so
+                # that segment's evidence ratio must be accumulated too
+                # (otherwise the returned posterior draws carry a logZ
+                # missing the last factor).
+                ratio = float(samples.log_evidence_ratio(1.0))
+                var = float(samples.log_evidence_ratio_variance(1.0))
+                logger.info(
+                    "Accumulating the final beta %.4f -> 1 evidence "
+                    "segment: %.3f",
+                    float(samples.beta),
+                    ratio,
+                )
+                self.history.log_norm_ratio.append(ratio)
+                self.history.log_norm_ratio_var.append(
+                    var / self._lineage_fraction
+                )
             final = samples.resample(
                 1.0,
                 n_samples=n_final_samples,

@@ -608,3 +608,25 @@ class TestFlowIndependenceMoves:
                 n_samples=100, sampler="smc",
                 sampler_kwargs={"n_steps": 4, "flow_moves": 2},
             )
+
+
+def test_capped_run_final_resample_accumulates_last_segment(
+    fitted_aspire,
+):
+    """A max_n_steps-capped ladder stops at beta < 1; the final
+    resample reweights to beta=1 and the evidence must include that
+    segment (it was silently dropped before the round-3 review)."""
+    sampler = fitted_aspire.init_sampler("smc")
+    out = sampler.sample(
+        512,
+        max_n_steps=2,
+        max_beta_step=0.2,
+        n_final_samples=400,
+        sampler_kwargs={"n_steps": 5},
+    )
+    assert sampler.history.beta[-1] < 1.0  # genuinely capped
+    # log_norm_ratio carries one extra entry for the beta->1 segment.
+    assert len(sampler.history.log_norm_ratio) == (
+        len(sampler.history.beta) + 1
+    )
+    assert float(out.log_evidence) == pytest.approx(TRUE_LOG_Z, abs=1.0)
