@@ -14,8 +14,9 @@ asp.fit(Samples(p.draw_initial_samples(rng, 8192)), n_epochs=20, batch_size=512)
 
 n = 131072
 true = -9.3709
-for label, kw in [("standard  ", {"n_steps": 20}),
-                  ("waste-free", {"n_steps": 20, "waste_free": True})]:
+# n_steps must divide n for waste-free pooling (16 | 131072).
+for label, kw in [("standard  ", {"n_steps": 16}),
+                  ("waste-free", {"n_steps": 16, "waste_free": True})]:
     common = dict(sampler="smc", n_samples=n, preconditioning="none",
                   store_sample_history=False, sampler_kwargs=kw)
     asp.sample_posterior(**common)  # warm
