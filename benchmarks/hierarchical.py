@@ -28,6 +28,8 @@ def main() -> None:
     parser.add_argument("--n-steps", type=int, default=32)
     parser.add_argument("--epochs", type=int, default=20)
     parser.add_argument("--train-samples", type=int, default=32_768)
+    parser.add_argument("--waste-free", action="store_true",
+                        help="pool k-step chains from n/k ancestors")
     args = parser.parse_args()
 
     import jax
@@ -67,7 +69,9 @@ def main() -> None:
     post, hist = asp.sample_posterior(
         sampler="smc",
         n_samples=args.particles,
-        sampler_kwargs=dict(n_steps=args.n_steps),
+        sampler_kwargs=dict(
+            n_steps=args.n_steps, waste_free=args.waste_free
+        ),
         store_sample_history=False,
         return_history=True,
     )
