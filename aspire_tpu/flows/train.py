@@ -56,34 +56,34 @@ class TrainConfig:
     epochs_per_dispatch: int = 8
 
 
-def fit_flow(
+#: Compiled trainer programs keyed by (loss_fn, config, data shape).
+#: A refit loop (reuse rounds, SMC flow-preconditioning) calls
+#: fit_flow repeatedly with identical configuration — without this
+#: cache every call would rebuild fresh closures and pay a full XLA
+#: recompilation.
+_TRAINER_CACHE: dict = {}
+
+
+def _build_trainer(
     loss_fn: Callable,
-    params,
-    x: jax.Array,
-    key: jax.Array,
     config: TrainConfig,
-    sharding=None,
-) -> tuple[dict, FlowHistory]:
-    """Fit flow ``params`` by minimizing ``loss_fn(params, batch, key)``.
-
-    ``loss_fn`` returns a scalar (mean negative log-likelihood for MLE
-    flows, MSE for flow matching). Returns ``(best_params, history)``.
-    """
-    x = jnp.asarray(x)
-    n = x.shape[0]
-    if not np.all(np.isfinite(np.asarray(jax.device_get(x)))):
-        raise ValueError("Training data contains NaN or inf values")
-
-    # Shuffle + split (reference flows/torch/flows.py:212-251 semantics).
-    key, perm_key = jax.random.split(key)
-    perm = jax.random.permutation(perm_key, n)
-    x = x[perm]
-    n_val = int(config.validation_fraction * n)
-    n_train = n - n_val
-    x_train, x_val = x[n_val:], x[:n_val]
-
-    batch_size = min(config.batch_size, n_train)
-    n_batches = max(n_train // batch_size, 1)
+    n_train: int,
+    n_batches: int,
+    batch_size: int,
+    chunk: int,
+):
+    """(optimizer, jitted multi-epoch trainer) for one configuration."""
+    cache_key = (
+        loss_fn,
+        dataclasses.astuple(config),
+        n_train,
+        n_batches,
+        batch_size,
+        chunk,
+    )
+    cached = _TRAINER_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
 
     if config.annealing:
         schedule = optax.cosine_decay_schedule(
@@ -99,22 +99,6 @@ def fit_flow(
     else:
         tx_chain.append(optax.adam(schedule))
     tx = optax.chain(*tx_chain)
-    opt_state = tx.init(params)
-
-    if sharding is not None:
-        # Trim to a multiple of the shard count so the batch axis divides
-        # evenly over the mesh (drops at most n_shards - 1 samples).
-        n_shards = len(sharding.device_set)
-        n_train_even = (n_train // n_shards) * n_shards
-        if n_train_even != n_train:
-            x_train = x_train[:n_train_even]
-            n_train = n_train_even
-            n_batches = max(n_train // batch_size, 1)
-        x_train = jax.device_put(x_train, sharding)
-        if n_val:
-            n_val_even = (n_val // n_shards) * n_shards
-            if n_val_even:
-                x_val = jax.device_put(x_val[:n_val_even], sharding)
 
     def one_epoch(params, opt_state, x_train, x_val, key):
         """One epoch: permute, scan over minibatches, validate."""
@@ -142,8 +126,6 @@ def fit_flow(
         else:
             val_loss = train_loss
         return params, opt_state, train_loss, val_loss
-
-    chunk = max(min(int(config.epochs_per_dispatch), config.n_epochs), 1)
 
     @jax.jit
     def train_chunk(state, x_train, x_val, key, n_active):
@@ -182,7 +164,7 @@ def fit_flow(
                 )
 
             def skip(_):
-                nan = jnp.asarray(jnp.nan, dtype=x.dtype)
+                nan = jnp.asarray(jnp.nan, dtype=best_val.dtype)
                 return (
                     params, opt_state, best_val, best_params, since,
                     nan, nan,
@@ -198,6 +180,62 @@ def fit_flow(
             state,
             (jnp.arange(chunk), jax.random.split(key, chunk)),
         )
+
+    if len(_TRAINER_CACHE) > 64:  # refit loops reuse a handful of keys
+        _TRAINER_CACHE.clear()
+    _TRAINER_CACHE[cache_key] = (tx, train_chunk)
+    return tx, train_chunk
+
+
+def fit_flow(
+    loss_fn: Callable,
+    params,
+    x: jax.Array,
+    key: jax.Array,
+    config: TrainConfig,
+    sharding=None,
+) -> tuple[dict, FlowHistory]:
+    """Fit flow ``params`` by minimizing ``loss_fn(params, batch, key)``.
+
+    ``loss_fn`` returns a scalar (mean negative log-likelihood for MLE
+    flows, MSE for flow matching). Returns ``(best_params, history)``.
+    """
+    x = jnp.asarray(x)
+    n = x.shape[0]
+    if not np.all(np.isfinite(np.asarray(jax.device_get(x)))):
+        raise ValueError("Training data contains NaN or inf values")
+
+    # Shuffle + split (reference flows/torch/flows.py:212-251 semantics).
+    key, perm_key = jax.random.split(key)
+    perm = jax.random.permutation(perm_key, n)
+    x = x[perm]
+    n_val = int(config.validation_fraction * n)
+    n_train = n - n_val
+    x_train, x_val = x[n_val:], x[:n_val]
+
+    batch_size = min(config.batch_size, n_train)
+    n_batches = max(n_train // batch_size, 1)
+
+    if sharding is not None:
+        # Trim to a multiple of the shard count so the batch axis divides
+        # evenly over the mesh (drops at most n_shards - 1 samples).
+        n_shards = len(sharding.device_set)
+        n_train_even = (n_train // n_shards) * n_shards
+        if n_train_even != n_train:
+            x_train = x_train[:n_train_even]
+            n_train = n_train_even
+            n_batches = max(n_train // batch_size, 1)
+        x_train = jax.device_put(x_train, sharding)
+        if n_val:
+            n_val_even = (n_val // n_shards) * n_shards
+            if n_val_even:
+                x_val = jax.device_put(x_val[:n_val_even], sharding)
+
+    chunk = max(min(int(config.epochs_per_dispatch), config.n_epochs), 1)
+    tx, train_chunk = _build_trainer(
+        loss_fn, config, n_train, n_batches, batch_size, chunk
+    )
+    opt_state = tx.init(params)
 
     history = FlowHistory()
     state = (
