@@ -155,6 +155,52 @@ def _adapt_step_size(
     )
 
 
+def _mh_update(
+    state: ChainState,
+    key,
+    accept_key,
+    x_prop,
+    lp_prop,
+    log_alpha,
+    *,
+    target_acceptance: float,
+    adaptation_rate: float,
+    max_log_step: float = 0.0,
+    grad_prop=None,
+    eval_amount=None,
+) -> ChainState:
+    """Shared Metropolis finish: NaN guard, accept/select, Robbins-Monro
+    step adaptation, state rebuild. One definition for every MH kernel
+    so the guard/accounting discipline cannot drift between them."""
+    n = state.x.shape[0]
+    log_alpha = jnp.where(jnp.isnan(log_alpha), -jnp.inf, log_alpha)
+    accept = jnp.log(jax.random.uniform(accept_key, (n,))) < log_alpha
+    x_new = jnp.where(accept[:, None], x_prop, state.x)
+    lp_new = jnp.where(accept, lp_prop, state.log_prob)
+    acc_prob = jnp.mean(jnp.exp(jnp.minimum(log_alpha, 0.0)))
+    s_new = _adapt_step_size(
+        state.step_size,
+        acc_prob,
+        target_acceptance,
+        adaptation_rate,
+        max_log_step=max_log_step,
+    )
+    grad_new = state.grad
+    if grad_prop is not None:
+        grad_new = jnp.where(accept[:, None], grad_prop, state.grad)
+    return ChainState(
+        x=x_new,
+        log_prob=lp_new,
+        key=key,
+        step_size=s_new,
+        n_accept=state.n_accept + accept,
+        grad=grad_new,
+        n_evals=_count_evals(
+            state, n if eval_amount is None else eval_amount
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # pCN / tpCN
 # ---------------------------------------------------------------------------
@@ -174,33 +220,28 @@ def pcn_step(
     """
     key, prop_key, accept_key = jax.random.split(state.key, 3)
     n, d = state.x.shape
-    s = state.step_size
+    # The pCN rotation needs s <= 1; a user-supplied initial step above
+    # that would otherwise NaN the whole first sweep.
+    s = jnp.minimum(state.step_size, 1.0)
     xi = jax.random.normal(prop_key, (n, d), dtype=state.x.dtype)
     x_prop = (
         ref.mean
-        + jnp.sqrt(1 - s**2) * (state.x - ref.mean)
+        + jnp.sqrt(jnp.maximum(1 - s**2, 0.0)) * (state.x - ref.mean)
         + s * xi @ ref.chol.T
     )
     lp_prop = log_prob_fn(x_prop)
     r2_old = _mahalanobis_sq(ref, state.x)
     r2_new = _mahalanobis_sq(ref, x_prop)
     log_alpha = lp_prop - state.log_prob + 0.5 * (r2_new - r2_old)
-    log_alpha = jnp.where(jnp.isnan(log_alpha), -jnp.inf, log_alpha)
-    log_u = jnp.log(jax.random.uniform(accept_key, (n,)))
-    accept = log_u < log_alpha
-    x_new = jnp.where(accept[:, None], x_prop, state.x)
-    lp_new = jnp.where(accept, lp_prop, state.log_prob)
-    acc_prob = jnp.mean(jnp.exp(jnp.minimum(log_alpha, 0.0)))
-    s_new = _adapt_step_size(
-        s, acc_prob, target_acceptance, adaptation_rate
-    )
-    return ChainState(
-        x=x_new,
-        log_prob=lp_new,
-        key=key,
-        step_size=s_new,
-        n_accept=state.n_accept + accept,
-        n_evals=_count_evals(state, n),
+    return _mh_update(
+        state,
+        key,
+        accept_key,
+        x_prop,
+        lp_prop,
+        log_alpha,
+        target_acceptance=target_acceptance,
+        adaptation_rate=adaptation_rate,
     )
 
 
@@ -222,7 +263,7 @@ def tpcn_step(
     """
     key, w_key, prop_key, accept_key = jax.random.split(state.key, 4)
     n, d = state.x.shape
-    s = state.step_size
+    s = jnp.minimum(state.step_size, 1.0)  # rotation needs s <= 1
     r2_old = _mahalanobis_sq(ref, state.x)
     alpha_gamma = 0.5 * (nu + d)
     w = gamma_fixed_shape(w_key, alpha_gamma, n, state.x.dtype)
@@ -230,7 +271,7 @@ def tpcn_step(
     xi = jax.random.normal(prop_key, (n, d), dtype=state.x.dtype)
     x_prop = (
         ref.mean
-        + jnp.sqrt(1 - s**2) * (state.x - ref.mean)
+        + jnp.sqrt(jnp.maximum(1 - s**2, 0.0)) * (state.x - ref.mean)
         + (s / jnp.sqrt(w))[:, None] * (xi @ ref.chol.T)
     )
     lp_prop = log_prob_fn(x_prop)
@@ -240,20 +281,15 @@ def tpcn_step(
         - state.log_prob
         + alpha_gamma * (jnp.log(nu + r2_new) - jnp.log(nu + r2_old))
     )
-    log_alpha = jnp.where(jnp.isnan(log_alpha), -jnp.inf, log_alpha)
-    log_u = jnp.log(jax.random.uniform(accept_key, (n,)))
-    accept = log_u < log_alpha
-    x_new = jnp.where(accept[:, None], x_prop, state.x)
-    lp_new = jnp.where(accept, lp_prop, state.log_prob)
-    acc_prob = jnp.mean(jnp.exp(jnp.minimum(log_alpha, 0.0)))
-    s_new = _adapt_step_size(s, acc_prob, target_acceptance, adaptation_rate)
-    return ChainState(
-        x=x_new,
-        log_prob=lp_new,
-        key=key,
-        step_size=s_new,
-        n_accept=state.n_accept + accept,
-        n_evals=_count_evals(state, n),
+    return _mh_update(
+        state,
+        key,
+        accept_key,
+        x_prop,
+        lp_prop,
+        log_alpha,
+        target_acceptance=target_acceptance,
+        adaptation_rate=adaptation_rate,
     )
 
 
@@ -277,22 +313,16 @@ def rwmh_step(
     x_prop = state.x + s * xi @ ref.chol.T
     lp_prop = log_prob_fn(x_prop)
     log_alpha = lp_prop - state.log_prob
-    log_alpha = jnp.where(jnp.isnan(log_alpha), -jnp.inf, log_alpha)
-    accept = jnp.log(jax.random.uniform(accept_key, (n,))) < log_alpha
-    x_new = jnp.where(accept[:, None], x_prop, state.x)
-    lp_new = jnp.where(accept, lp_prop, state.log_prob)
-    acc_prob = jnp.mean(jnp.exp(jnp.minimum(log_alpha, 0.0)))
-    s_new = _adapt_step_size(
-        s, acc_prob, target_acceptance, adaptation_rate,
+    return _mh_update(
+        state,
+        key,
+        accept_key,
+        x_prop,
+        lp_prop,
+        log_alpha,
+        target_acceptance=target_acceptance,
+        adaptation_rate=adaptation_rate,
         max_log_step=2.3,
-    )
-    return ChainState(
-        x=x_new,
-        log_prob=lp_new,
-        key=key,
-        step_size=s_new,
-        n_accept=state.n_accept + accept,
-        n_evals=_count_evals(state, n),
     )
 
 
@@ -320,24 +350,17 @@ def mala_step(
     log_q_fwd = -jnp.sum((x_prop - mean_fwd) ** 2, axis=-1) / (2 * eps**2)
     log_q_rev = -jnp.sum((state.x - mean_rev) ** 2, axis=-1) / (2 * eps**2)
     log_alpha = lp_prop - state.log_prob + log_q_rev - log_q_fwd
-    log_alpha = jnp.where(jnp.isnan(log_alpha), -jnp.inf, log_alpha)
-    accept = jnp.log(jax.random.uniform(accept_key, (n,))) < log_alpha
-    x_new = jnp.where(accept[:, None], x_prop, state.x)
-    lp_new = jnp.where(accept, lp_prop, state.log_prob)
-    grad_new = jnp.where(accept[:, None], grad_prop, grad)
-    acc_prob = jnp.mean(jnp.exp(jnp.minimum(log_alpha, 0.0)))
-    eps_new = _adapt_step_size(
-        eps, acc_prob, target_acceptance, adaptation_rate,
+    return _mh_update(
+        state,
+        key,
+        accept_key,
+        x_prop,
+        lp_prop,
+        log_alpha,
+        target_acceptance=target_acceptance,
+        adaptation_rate=adaptation_rate,
         max_log_step=2.3,
-    )
-    return ChainState(
-        x=x_new,
-        log_prob=lp_new,
-        key=key,
-        step_size=eps_new,
-        n_accept=state.n_accept + accept,
-        grad=grad_new,
-        n_evals=_count_evals(state, n),
+        grad_prop=grad_prop,
     )
 
 
@@ -372,38 +395,37 @@ def hmc_step(
         n_steps = n_leapfrog
 
     def leapfrog_body(i, carry):
-        x, p, grad = carry
+        x, p, grad, _ = carry
         p_half = p + 0.5 * eps * grad
         x_new = x + eps * p_half
-        _, grad_new = log_prob_and_grad_fn(x_new)
+        lp_new, grad_new = log_prob_and_grad_fn(x_new)
         p_new = p_half + 0.5 * eps * grad_new
-        return (x_new, p_new, grad_new)
+        return (x_new, p_new, grad_new, lp_new)
 
-    x_prop, p_prop, grad_prop = jax.lax.fori_loop(
-        0, n_steps, leapfrog_body, (state.x, p0, state.grad)
+    # The final iteration's density/gradient evaluation IS the
+    # proposal's: carry the value instead of re-evaluating at x_prop
+    # (one of n_leapfrog + 1 target evaluations saved per step).
+    x_prop, p_prop, grad_prop, lp_prop = jax.lax.fori_loop(
+        0,
+        n_steps,
+        leapfrog_body,
+        (state.x, p0, state.grad, state.log_prob),
     )
-    lp_prop, grad_prop = log_prob_and_grad_fn(x_prop)
     ke0 = 0.5 * jnp.sum(p0**2, axis=-1)
     ke1 = 0.5 * jnp.sum(p_prop**2, axis=-1)
     log_alpha = (lp_prop - ke1) - (state.log_prob - ke0)
-    log_alpha = jnp.where(jnp.isnan(log_alpha), -jnp.inf, log_alpha)
-    accept = jnp.log(jax.random.uniform(accept_key, (n,))) < log_alpha
-    x_new = jnp.where(accept[:, None], x_prop, state.x)
-    lp_new = jnp.where(accept, lp_prop, state.log_prob)
-    grad_new = jnp.where(accept[:, None], grad_prop, state.grad)
-    acc_prob = jnp.mean(jnp.exp(jnp.minimum(log_alpha, 0.0)))
-    eps_new = _adapt_step_size(
-        eps, acc_prob, target_acceptance, adaptation_rate,
+    return _mh_update(
+        state,
+        key,
+        accept_key,
+        x_prop,
+        lp_prop,
+        log_alpha,
+        target_acceptance=target_acceptance,
+        adaptation_rate=adaptation_rate,
         max_log_step=2.3,
-    )
-    return ChainState(
-        x=x_new,
-        log_prob=lp_new,
-        key=key,
-        step_size=eps_new,
-        n_accept=state.n_accept + accept,
-        grad=grad_new,
-        n_evals=_count_evals(state, (n_steps + 1) * n),
+        grad_prop=grad_prop,
+        eval_amount=n_steps * n,
     )
 
 
@@ -714,25 +736,24 @@ def stretch_step(
         n_move = m1 - m0
         n_other = o1 - o0
         key, z_key, pick_key, accept_key = jax.random.split(key, 4)
-        idx_move = jnp.arange(m0, m1)
         pick = jax.random.randint(pick_key, (n_move,), 0, n_other)
         partners = x[o0 + pick]
         # z ~ g(z) prop 1/sqrt(z) on [1/a, a]: inverse-CDF sampling.
         u = jax.random.uniform(z_key, (n_move,), dtype=x.dtype)
         z = (u * (jnp.sqrt(a) - jnp.sqrt(1 / a)) + jnp.sqrt(1 / a)) ** 2
-        x_move = x[idx_move]
+        # The half being moved is a contiguous block: static slices
+        # (not index gathers) so XLA fuses instead of scattering.
+        x_move = x[m0:m1]
         x_prop = partners + z[:, None] * (x_move - partners)
         lp_prop = log_prob_fn(x_prop)
-        log_alpha = (d - 1) * jnp.log(z) + lp_prop - lp[idx_move]
+        log_alpha = (d - 1) * jnp.log(z) + lp_prop - lp[m0:m1]
         log_alpha = jnp.where(jnp.isnan(log_alpha), -jnp.inf, log_alpha)
         accept = (
             jnp.log(jax.random.uniform(accept_key, (n_move,))) < log_alpha
         )
-        x = x.at[idx_move].set(
-            jnp.where(accept[:, None], x_prop, x_move)
-        )
-        lp = lp.at[idx_move].set(jnp.where(accept, lp_prop, lp[idx_move]))
-        n_accept = n_accept.at[idx_move].add(accept)
+        x = x.at[m0:m1].set(jnp.where(accept[:, None], x_prop, x_move))
+        lp = lp.at[m0:m1].set(jnp.where(accept, lp_prop, lp[m0:m1]))
+        n_accept = n_accept.at[m0:m1].add(accept)
 
     return ChainState(
         x=x,
@@ -785,8 +806,11 @@ def run_chain(
     is the windowed Sokal estimate from the stored chain
     (:func:`sokal_tau_from_chain`) instead of the AR(1) surrogate.
     """
-    if windowed_tau and not store_chain:
-        raise ValueError("windowed_tau requires store_chain=True")
+    if windowed_tau and not (store_chain and track_autocorr):
+        raise ValueError(
+            "windowed_tau requires store_chain=True and "
+            "track_autocorr=True"
+        )
     if not track_autocorr:
 
         def body(carry, _):
