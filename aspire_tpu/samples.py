@@ -202,6 +202,12 @@ class BaseSamples:
             self.x = self.x[:, None]
         if self.dtype is None:
             self.dtype = self.x.dtype
+            if not jnp.issubdtype(self.dtype, jnp.floating):
+                # Integer positions must not drag the log-densities
+                # down to an integer dtype (silent truncation); adopt
+                # the default float instead (honors enable_x64).
+                self.dtype = jnp.zeros((), dtype=float).dtype
+                self.x = asarray(self.x, dtype=self.dtype)
         self.log_likelihood = _maybe(
             lambda v: asarray(v, dtype=self.dtype).reshape(-1),
             self.log_likelihood,
@@ -501,10 +507,10 @@ class Samples(BaseSamples):
     def __str__(self):
         out = super().__str__()
         if self.log_evidence is not None:
-            out += (
-                f"Log evidence: {float(self.log_evidence):.2f} "
-                f"+/- {float(self.log_evidence_error):.2f}\n"
-            )
+            out += f"Log evidence: {float(self.log_evidence):.2f}"
+            if self.log_evidence_error is not None:
+                out += f" +/- {float(self.log_evidence_error):.2f}"
+            out += "\n"
         if self.log_w is not None:
             out += (
                 f"Effective sample size: "
@@ -553,6 +559,21 @@ class MCMCSamples(BaseSamples):
             **kwargs,
         )
 
+    def __getitem__(self, idx):
+        """Slice the flattened samples, keeping chain metadata usable.
+
+        The result's chain degenerates to one walker of the sliced
+        length (reference MCMCSamples.__getitem__ semantics); burn-in /
+        thinning provenance and any computed autocorrelation time ride
+        along.
+        """
+        sliced = super().__getitem__(idx)
+        sliced.chain_shape = (len(sliced.x), 1)
+        sliced.burn_in = self.burn_in
+        sliced.thin = self.thin
+        sliced.autocorrelation_time = self.autocorrelation_time
+        return sliced
+
     @property
     def chain(self) -> Array:
         """Samples reshaped back to ``(n_steps, n_walkers, d)``."""
@@ -599,11 +620,17 @@ class MCMCSamples(BaseSamples):
     def post_process(
         self, burn_in: int | None = None, thin: int | None = None
     ) -> "MCMCSamples":
-        """Apply burn-in/thinning along the step axis (reference :726)."""
+        """Apply burn-in/thinning along the step axis (reference :726).
+
+        The ``burn_in``/``thin`` attributes on the object record what
+        has ALREADY been applied; they are not re-applied here, so a
+        no-argument call on a processed chain is a no-op rather than a
+        silent double trim.
+        """
         if self.chain_shape is None:
             raise ValueError("chain_shape is not set")
-        burn_in = self.burn_in if burn_in is None else burn_in
-        thin = self.thin if thin is None else thin
+        burn_in = 0 if burn_in is None else burn_in
+        thin = 1 if thin is None else thin
         chain = self.chain[burn_in::thin]
 
         def slice_chain(value):
@@ -644,12 +671,83 @@ class PTMCMCSamples(MCMCSamples):
         super().__post_init__()
         if self.betas is not None:
             self.betas = to_numpy(self.betas)
+            betas = np.atleast_1d(np.asarray(self.betas, dtype=float))
+            # Ladder contract (reference samples.py:816-836): a 1-D
+            # DECREASING ladder starting at the cold chain beta = 1 —
+            # cold_chain()/at_temperature(0) index rung 0 directly, so
+            # an ascending ladder would silently hand back the prior.
+            if betas.ndim != 1:
+                raise ValueError("betas must be one-dimensional")
+            if self.chain_shape is not None and len(betas) != int(
+                self.chain_shape[0]
+            ):
+                raise ValueError(
+                    f"Got {len(betas)} betas for "
+                    f"{self.chain_shape[0]} temperature rungs"
+                )
+            if len(betas) > 1 and np.any(np.diff(betas) >= 0):
+                raise ValueError(
+                    "betas must be strictly decreasing (cold chain "
+                    "first)"
+                )
+            if not np.isclose(betas[0], 1.0):
+                raise ValueError(
+                    f"betas must start at 1 (cold chain); got "
+                    f"{betas[0]}"
+                )
 
     def __getitem__(self, idx):
         raise NotImplementedError(
             "Slicing is not supported for PTMCMCSamples. Use "
             "at_temperature() to extract samples at a specific temperature."
         )
+
+    def post_process(
+        self, burn_in: int | None = None, thin: int | None = None
+    ) -> "PTMCMCSamples":
+        """Burn-in/thin along the STEP axis of every temperature rung.
+
+        The inherited implementation would slice axis 0 — the
+        temperature axis — and silently drop rungs (and ``betas``).
+        """
+        if self.chain_shape is None:
+            raise ValueError("chain_shape is not set")
+        burn_in = 0 if burn_in is None else burn_in
+        thin = 1 if thin is None else thin
+        chain = self.chain[:, burn_in::thin]
+
+        def slice_chain(value):
+            if value is None:
+                return None
+            reshaped = self._reshape_like_chain(value)
+            return reshaped[:, burn_in::thin].reshape(-1)
+
+        return self.__class__(
+            x=chain.reshape(-1, self.dims),
+            log_likelihood=slice_chain(self.log_likelihood),
+            log_prior=slice_chain(self.log_prior),
+            log_q=slice_chain(self.log_q),
+            parameters=self.parameters,
+            dtype=self.dtype,
+            chain_shape=chain.shape[:-1],
+            burn_in=burn_in,
+            thin=thin,
+            betas=self.betas,
+        )
+
+    def compute_autocorrelation_time(self, c: float = 5.0) -> Array:
+        """Per-temperature, per-parameter IAT, shape ``(T, d)``.
+
+        The inherited 3-D implementation would misread the temperature
+        axis as the step axis.
+        """
+        taus = []
+        for t in range(self.n_temperatures):
+            sub = self.at_temperature(t)
+            sub.autocorrelation_time = None
+            taus.append(to_numpy(sub.compute_autocorrelation_time(c)))
+        self.autocorrelation_time = jnp.asarray(np.stack(taus))
+        return self.autocorrelation_time
 
     @property
     def n_temperatures(self) -> int:
@@ -685,7 +783,13 @@ class PTMCMCSamples(MCMCSamples):
         return self.at_temperature(0)
 
     def subsample(self, n: int, rng=None) -> "PTMCMCSamples":
-        """Randomly subsample ``n`` (step, walker) entries per temperature."""
+        """Randomly subsample ``n`` (step, walker) entries per temperature.
+
+        Indices are drawn INDEPENDENTLY per rung: a shared index vector
+        would keep the rungs' draws step-aligned (cross-rung
+        correlated), violating the independence the TI/stepping-stone
+        error reductions assume.
+        """
         rng = rng or np.random.default_rng()
         chain = to_numpy(self.chain)
         n_temps = chain.shape[0]
@@ -695,22 +799,30 @@ class PTMCMCSamples(MCMCSamples):
             raise ValueError(
                 f"Cannot subsample {n} from {total} samples per temperature"
             )
-        idx = rng.choice(total, size=n, replace=False)
+        idx = np.stack(
+            [
+                rng.choice(total, size=n, replace=False)
+                for _ in range(n_temps)
+            ]
+        )  # (T, n)
+        rows = np.arange(n_temps)[:, None]
 
         def pick(value):
             if value is None:
                 return None
             v = to_numpy(self._reshape_like_chain(value)).reshape(n_temps, -1)
-            return v[:, idx].reshape(-1)
+            return v[rows, idx].reshape(-1)
 
         return self.__class__(
-            x=flat[:, idx].reshape(-1, self.dims),
+            x=flat[rows, idx].reshape(-1, self.dims),
             log_likelihood=pick(self.log_likelihood),
             log_prior=pick(self.log_prior),
             log_q=pick(self.log_q),
             parameters=self.parameters,
             dtype=self.dtype,
             chain_shape=(n_temps, n, 1),
+            burn_in=self.burn_in,
+            thin=self.thin,
             betas=self.betas,
         )
 
@@ -858,8 +970,15 @@ class SMCSamples(BaseSamples):
         return (1 - beta) * self.log_q + beta * log_p_target
 
     def unnormalized_log_weights(self, beta) -> Array:
-        return (self.beta - beta) * self.log_q + (beta - self.beta) * (
-            self.log_likelihood + self.log_prior
+        # Delegates to the single source of truth for the tempered-path
+        # increment (shared with the jitted resample and the ladder);
+        # its NaN guard maps invalid densities to -inf.
+        return incremental_log_weights(
+            self.log_q,
+            self.log_likelihood,
+            self.log_prior,
+            self.beta,
+            beta,
         )
 
     def log_evidence_ratio(self, beta) -> Array:
@@ -878,11 +997,18 @@ class SMCSamples(BaseSamples):
         )
 
     def log_weights(self, beta) -> Array:
-        log_w = self.unnormalized_log_weights(beta)
-        if bool(jnp.isnan(log_w).any()):
+        # unnormalized_log_weights guards NaN -> -inf (the jitted
+        # resampling contract); this user-facing accessor keeps the
+        # LOUD contract by checking the ingredients instead.
+        if bool(
+            jnp.isnan(self.log_q).any()
+            | jnp.isnan(self.log_likelihood).any()
+            | jnp.isnan(self.log_prior).any()
+        ):
             raise ValueError(
                 f"Log weights contain NaN values for beta={beta}"
             )
+        log_w = self.unnormalized_log_weights(beta)
         log_evidence_ratio = logsumexp(log_w) - math.log(len(self.x))
         return log_w + log_evidence_ratio
 
@@ -923,7 +1049,7 @@ class SMCSamples(BaseSamples):
         same_beta = beta == self.beta
         if impl in ("ring", "alltoall"):
             return self._resample_collective(
-                key, beta, n_samples, method, bool(same_beta), impl
+                key, beta, n_samples, method, impl
             )
         if impl != "auto":
             raise ValueError(
@@ -973,7 +1099,6 @@ class SMCSamples(BaseSamples):
         beta,
         n_samples: int,
         method: str,
-        same_beta: bool,
         impl: str = "ring",
     ) -> "SMCSamples":
         """Hand-rolled sharded resample with a pinned collective
@@ -1006,16 +1131,15 @@ class SMCSamples(BaseSamples):
                 f"impl={impl!r} resamples the full population "
                 "(n_samples == n)."
             )
-        if same_beta:
-            log_w = jnp.zeros(len(self.x), dtype=self.x.dtype)
-        else:
-            log_w = incremental_log_weights(
-                self.log_q,
-                self.log_likelihood,
-                self.log_prior,
-                self.beta,
-                beta,
-            )
+        # beta == self.beta with n_samples == n early-returns before
+        # reaching the collectives, so the increment is always live.
+        log_w = incremental_log_weights(
+            self.log_q,
+            self.log_likelihood,
+            self.log_prior,
+            self.beta,
+            beta,
+        )
         # One ring pass per distinct dtype: fields keep their own
         # precision (live populations can carry f32 positions with
         # f64 densities), preserving bit-identity with impl="auto".

@@ -408,3 +408,101 @@ def test_compute_weights_error_no_underflow_at_large_negative_logz():
         log_q=jnp.zeros(n, jnp.float32),
     )
     assert err == pytest.approx(float(s2.log_evidence_error), rel=1e-3)
+
+
+class TestPTMCMCSamplesRound3:
+    """Round-3 review fixes: the PT ladder's inherited 3-D machinery."""
+
+    def _make(self, rng, n_temps=3, n_steps=20, n_walkers=4, d=2):
+        chain = rng.normal(size=(n_temps, n_steps, n_walkers, d))
+        s = PTMCMCSamples(
+            x=chain.reshape(-1, d),
+            log_likelihood=rng.normal(size=chain[..., 0].size),
+            chain_shape=(n_temps, n_steps, n_walkers),
+            betas=np.linspace(1, 0, n_temps),
+        )
+        return s, chain
+
+    def test_post_process_trims_step_axis_and_keeps_betas(self, rng):
+        s, chain = self._make(rng)
+        out = s.post_process(burn_in=5, thin=2)
+        assert out.chain_shape == (3, 8, 4)  # (20 - 5) strided by 2
+        np.testing.assert_allclose(
+            np.asarray(out.chain), chain[:, 5::2], rtol=1e-6
+        )
+        assert out.betas is not None
+        assert out.n_temperatures == 3
+        # metadata records what was applied; a repeat call is a no-op
+        again = out.post_process()
+        assert again.chain_shape == out.chain_shape
+
+    def test_autocorr_time_shape(self, rng):
+        s, _ = self._make(rng)
+        tau = s.compute_autocorrelation_time()
+        assert tau.shape == (3, 2)  # (n_temps, d)
+        assert np.all(np.asarray(tau) >= 0)
+
+    def test_subsample_indices_independent_per_rung(self, rng):
+        n_temps, n_steps, n_walkers, d = 3, 40, 4, 1
+        # positions encode their flattened (step, walker) index so the
+        # drawn indices are recoverable per rung
+        base = np.arange(n_steps * n_walkers, dtype=float)
+        chain = np.broadcast_to(
+            base[None, :, None], (n_temps, n_steps * n_walkers, d)
+        ).reshape(n_temps, n_steps, n_walkers, d)
+        s = PTMCMCSamples(
+            x=chain.reshape(-1, d),
+            chain_shape=(n_temps, n_steps, n_walkers),
+            betas=np.linspace(1, 0, n_temps),
+        )
+        sub = s.subsample(30, rng=np.random.default_rng(0))
+        picked = np.asarray(sub.chain).reshape(n_temps, -1)
+        # With independent draws, the three rungs' index sets differ.
+        assert not (
+            np.array_equal(picked[0], picked[1])
+            and np.array_equal(picked[1], picked[2])
+        )
+
+    def test_betas_validation(self, rng):
+        chain = rng.normal(size=(3, 5, 2, 1))
+        kwargs = dict(
+            x=chain.reshape(-1, 1), chain_shape=(3, 5, 2)
+        )
+        with pytest.raises(ValueError, match="decreasing"):
+            PTMCMCSamples(betas=[0.0, 0.5, 1.0], **kwargs)
+        with pytest.raises(ValueError, match="start at 1"):
+            PTMCMCSamples(betas=[0.9, 0.5, 0.1], **kwargs)
+        with pytest.raises(ValueError, match="rungs"):
+            PTMCMCSamples(betas=[1.0, 0.5], **kwargs)
+
+
+def test_mcmc_samples_slicing_keeps_chain_metadata(rng):
+    chain = rng.normal(size=(30, 4, 2))
+    s = MCMCSamples.from_chain(chain, burn_in=3, thin=2)
+    s.compute_autocorrelation_time()
+    sub = s[:40]
+    assert len(sub) == 40
+    assert sub.chain.shape == (40, 1, 2)  # usable, single-walker view
+    assert sub.burn_in == 3 and sub.thin == 2
+    assert sub.autocorrelation_time is not None
+
+
+def test_integer_x_promotes_to_float(rng):
+    s = BaseSamples(
+        x=np.array([[1, 2], [3, 4]]),
+        log_likelihood=[-1.5, -2.7],
+    )
+    assert jnp.issubdtype(s.x.dtype, jnp.floating)
+    np.testing.assert_allclose(
+        np.asarray(s.log_likelihood), [-1.5, -2.7]
+    )
+
+
+def test_samples_str_without_error_bar(rng):
+    s = Samples(
+        x=rng.normal(size=(10, 2)),
+        log_likelihood=rng.normal(size=10),
+        log_prior=rng.normal(size=10),
+        log_evidence=-5.0,
+    )
+    assert "Log evidence: -5.00" in str(s)
