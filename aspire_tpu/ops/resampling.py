@@ -131,29 +131,41 @@ _RING_CACHE: dict = {}
 
 
 def ring_resample_matrix(key, log_w, data, mesh, axis_name: str = "data",
-                         method: str = "systematic"):
+                         method: str = "systematic",
+                         n_out: int | None = None):
     """Resample a row-sharded ``(n, cols)`` matrix on a 1-D mesh.
 
     ``log_w`` must carry the same ``P(axis_name)`` sharding as ``data``.
     Returns the resampled matrix with the input sharding, bit-identical
-    to ``data[get_resampler(method)(key, log_w, n)]`` evaluated in the
-    replicated (single-device) summation order — the collective impls
-    always agree with each other and with that order; GSPMD's sharded
-    lowering of the f32 weight prefix-sum may reorder the summation and
-    flip a small fraction of bin-boundary assignments at large n. The
-    jitted shard_map program is cached per (mesh, axis, method) so
-    repeated SMC iterations hit the compile cache instead of
-    re-tracing.
+    to ``data[get_resampler(method)(key, log_w, n_out)]`` evaluated in
+    the replicated (single-device) summation order — the collective
+    impls always agree with each other and with that order; GSPMD's
+    sharded lowering of the f32 weight prefix-sum may reorder the
+    summation and flip a small fraction of bin-boundary assignments at
+    large n. The jitted shard_map program is cached per
+    (mesh, axis, method, n_out) so repeated SMC iterations hit the
+    compile cache instead of re-tracing.
+
+    ``n_out`` (default ``n``) selects a different output population
+    size — e.g. the ``M = n/k`` ancestor population of waste-free SMC —
+    and must tile the mesh.
     """
-    cache_key = (mesh, axis_name, method)
+    n_shards = int(mesh.devices.size)
+    if n_out is not None and n_out % n_shards:
+        raise ValueError(
+            f"n_out ({n_out}) must be divisible by the mesh size "
+            f"({n_shards}) — each shard emits n_out/S rows."
+        )
+    cache_key = (mesh, axis_name, method, n_out)
     cached = _RING_CACHE.get(cache_key)
     if cached is None:
-        cached = _build_ring_resampler(mesh, axis_name, method)
+        cached = _build_ring_resampler(mesh, axis_name, method, n_out)
         _RING_CACHE[cache_key] = cached
     return cached(key, log_w, data)
 
 
-def _build_ring_resampler(mesh, axis_name: str, method: str):
+def _build_ring_resampler(mesh, axis_name: str, method: str,
+                          n_out: int | None = None):
     from jax.sharding import NamedSharding, PartitionSpec as P
     from jax import shard_map
 
@@ -163,14 +175,20 @@ def _build_ring_resampler(mesh, axis_name: str, method: str):
 
     def local_fn(key, lw_local, block):
         chunk = block.shape[0]
+        out_rows = (n_out // n_shards) if n_out is not None else chunk
         lw_global = jax.lax.all_gather(
             lw_local, axis_name, tiled=True
         )
-        idx = resampler(key, lw_global, lw_global.shape[0])
+        idx = resampler(
+            key,
+            lw_global,
+            n_out if n_out is not None else lw_global.shape[0],
+        )
         me = jax.lax.axis_index(axis_name)
         idx_mine = jax.lax.dynamic_slice_in_dim(
-            idx, me * chunk, chunk
+            idx, me * out_rows, out_rows
         )
+        out0 = jnp.zeros((out_rows, block.shape[1]), block.dtype)
 
         def ring_step(r, carry):
             held, out = carry
@@ -183,7 +201,7 @@ def _build_ring_resampler(mesh, axis_name: str, method: str):
             return held, out
 
         _, out = jax.lax.fori_loop(
-            0, n_shards, ring_step, (block, jnp.zeros_like(block))
+            0, n_shards, ring_step, (block, out0)
         )
         return out
 
@@ -230,6 +248,7 @@ def alltoall_resample_matrix(
     axis_name: str = "data",
     method: str = "systematic",
     cap: int | None = None,
+    n_out: int | None = None,
 ):
     """Resample a row-sharded ``(n, cols)`` matrix via bucketed all_to_all.
 
@@ -237,27 +256,35 @@ def alltoall_resample_matrix(
     index vector); moves ``O(S * cap * cols)`` bytes per device instead
     of the ring's ``O(n * cols)``. ``cap`` bounds the rows any single
     (src, dst) shard pair may exchange; overflow triggers an in-program
-    fallback to the ring schedule.
+    fallback to the ring schedule. ``n_out`` (default ``n``) selects a
+    smaller mesh-tiling output population (waste-free ancestors).
     """
     n_shards = int(mesh.devices.size)
-    chunk = data.shape[0] // n_shards
+    if n_out is not None and n_out % n_shards:
+        raise ValueError(
+            f"n_out ({n_out}) must be divisible by the mesh size "
+            f"({n_shards}) — each shard emits n_out/S rows."
+        )
+    out_chunk = (n_out or data.shape[0]) // n_shards
     if cap is None:
-        # Balanced resampling needs ~chunk/S rows per pair; 4x headroom
-        # (+ a floor) keeps the fallback rare without re-creating the
-        # ring's full-matrix traffic.
-        cap = min(chunk, max(4 * chunk // n_shards, 16))
-    cache_key = (mesh, axis_name, method, int(cap))
+        # Balanced resampling needs ~out_chunk/S rows per pair; 4x
+        # headroom (+ a floor) keeps the fallback rare without
+        # re-creating the ring's full-matrix traffic.
+        cap = min(out_chunk, max(4 * out_chunk // n_shards, 16))
+    cap = min(int(cap), out_chunk)
+    cache_key = (mesh, axis_name, method, int(cap), n_out)
     cached = _A2A_CACHE.get(cache_key)
     if cached is None:
         cached = _build_alltoall_resampler(
-            mesh, axis_name, method, int(cap)
+            mesh, axis_name, method, int(cap), n_out
         )
         _A2A_CACHE[cache_key] = cached
     return cached(key, log_w, data)
 
 
 def _build_alltoall_resampler(
-    mesh, axis_name: str, method: str, cap: int
+    mesh, axis_name: str, method: str, cap: int,
+    n_out: int | None = None,
 ):
     from jax.sharding import NamedSharding, PartitionSpec as P
     from jax import shard_map
@@ -268,16 +295,21 @@ def _build_alltoall_resampler(
 
     def local_fn(key, lw_local, block):
         chunk = block.shape[0]
+        out_rows = (n_out // n_shards) if n_out is not None else chunk
         me = jax.lax.axis_index(axis_name)
         lw_global = jax.lax.all_gather(lw_local, axis_name, tiled=True)
-        idx = resampler(key, lw_global, lw_global.shape[0])  # (n,)
+        idx = resampler(
+            key,
+            lw_global,
+            n_out if n_out is not None else lw_global.shape[0],
+        )  # (n_out,)
 
         # -- sender: bucket MY rows by destination block --------------
         sends = []
         overflow = jnp.zeros((), jnp.bool_)
         for t in range(n_shards):
             idx_t = jax.lax.dynamic_slice_in_dim(
-                idx, t * chunk, chunk
+                idx, t * out_rows, out_rows
             )
             mine = (idx_t // chunk) == me
             # Stable compaction: rows destined to t, in t's row order.
@@ -291,8 +323,10 @@ def _build_alltoall_resampler(
         )  # recv[s] = rows shard s prepared for me, in my row order
 
         # -- receiver: place each row by its per-source running rank --
-        idx_me = jax.lax.dynamic_slice_in_dim(idx, me * chunk, chunk)
-        src = idx_me // chunk  # (chunk,)
+        idx_me = jax.lax.dynamic_slice_in_dim(
+            idx, me * out_rows, out_rows
+        )
+        src = idx_me // chunk  # (out_rows,)
         onehot = src[:, None] == jnp.arange(n_shards)[None, :]
         rank = (
             jnp.take_along_axis(
@@ -306,6 +340,8 @@ def _build_alltoall_resampler(
         any_overflow = jax.lax.pmax(overflow, axis_name)
 
         def ring_path(_):
+            out0 = jnp.zeros((out_rows, block.shape[1]), block.dtype)
+
             def ring_step(r, carry):
                 held, out = carry
                 s = (me - r) % n_shards
@@ -317,7 +353,7 @@ def _build_alltoall_resampler(
                 return held, out
 
             return jax.lax.fori_loop(
-                0, n_shards, ring_step, (block, jnp.zeros_like(block))
+                0, n_shards, ring_step, (block, out0)
             )[1]
 
         return jax.lax.cond(

@@ -1196,6 +1196,10 @@ class SMCSampler(Sampler):
                         s["x"],
                         mesh,
                         method=resampling_method,
+                        # Waste-free resamples only the M = n/k
+                        # ancestors; the collectives emit n_out/S rows
+                        # per shard.
+                        n_out=n_chains,
                     )
                 else:
                     idx = resampler(rs_key, log_w, n_chains)
@@ -1523,13 +1527,6 @@ class SMCSampler(Sampler):
                     "waste_free SMC requires a jit-traceable target "
                     "(the pooled chain states are gathered in-program)."
                 )
-            if self.resampling_impl != "auto":
-                raise ValueError(
-                    "waste_free SMC resamples M = n/k ancestors; the "
-                    "hand-rolled collectives redistribute full "
-                    "populations only. Use resampling_impl='auto' "
-                    "with waste_free=True."
-                )
             k = int(self.sampler_kwargs.get("n_steps") or 5 * self.dims)
             n_now = len(samples)
             if n_now % k != 0:
@@ -1811,6 +1808,10 @@ class SMCSampler(Sampler):
                             n_samples=n_ancestors,
                             key=self.next_key(),
                             method=self.resampling_method,
+                            # M tiles the mesh (validated in sample()),
+                            # so the hand-rolled collectives compose
+                            # with waste-free ancestor selection too.
+                            impl=self.resampling_impl,
                         )
                     else:
                         # sample() already rejected impl='ring' without
@@ -1870,11 +1871,32 @@ class SMCSampler(Sampler):
                 self.history.log_norm_ratio_var.append(
                     var / self._lineage_fraction
                 )
+            # Honor the explicit collective schedule for the final
+            # draw too when the requested size tiles the mesh (an
+            # arbitrary n_final_samples, e.g. 5000 on 8 shards, falls
+            # back to the GSPMD gather — on a multi-controller mesh
+            # that global gather is the only option anyway).
+            final_impl = self.resampling_impl
+            if (
+                final_impl != "auto"
+                and self.mesh is not None
+                and n_final_samples % self.mesh.devices.size
+            ):
+                logger.debug(
+                    "n_final_samples (%d) does not tile the %d-device "
+                    "mesh; the final draw uses the GSPMD gather "
+                    "instead of resampling_impl=%r.",
+                    n_final_samples,
+                    self.mesh.devices.size,
+                    final_impl,
+                )
+                final_impl = "auto"
             final = samples.resample(
                 1.0,
                 n_samples=n_final_samples,
                 key=self.next_key(),
                 method=self.resampling_method,
+                impl=final_impl,
             )
             # The final population's tau feeds no further evidence
             # increments, but it is the recorded mixing diagnostic of

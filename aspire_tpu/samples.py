@@ -1032,7 +1032,9 @@ class SMCSamples(BaseSamples):
         (:func:`aspire_tpu.ops.resampling.ring_resample_matrix`:
         weight all-gather + ppermute ring) — bit-identical results,
         explicit collective schedule, O(chunk*d) peak memory. Requires
-        a mesh-sharded population and ``n_samples == n``.
+        a mesh-sharded population; ``n_samples`` may differ from ``n``
+        (e.g. waste-free ancestor selection) as long as it tiles the
+        mesh.
         """
         n = len(self.x)
         if n_samples is None:
@@ -1126,10 +1128,11 @@ class SMCSamples(BaseSamples):
                 f"impl={impl!r} needs a mesh-sharded population; use "
                 "impl='auto' for single-device runs."
             )
-        if n_samples != len(self.x):
+        if n_samples % sharding.mesh.devices.size:
             raise ValueError(
-                f"impl={impl!r} resamples the full population "
-                "(n_samples == n)."
+                f"impl={impl!r} emits n_samples/S rows per shard: "
+                f"n_samples ({n_samples}) must be divisible by the "
+                f"mesh size ({sharding.mesh.devices.size})."
             )
         # beta == self.beta with n_samples == n early-returns before
         # reaching the collectives, so the increment is always live.
@@ -1162,6 +1165,7 @@ class SMCSamples(BaseSamples):
                 sharding.mesh,
                 axis_name=sharding.spec[0],
                 method=method,
+                n_out=int(n_samples),
             )
             col = 0
             for n in names:

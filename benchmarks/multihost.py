@@ -58,7 +58,10 @@ def spawn(args) -> int:
         "--n-steps", str(args.n_steps),
         "--dims", str(args.dims),
         "--reps", str(args.reps),
+        "--resampling-impl", args.resampling_impl,
     ]
+    if args.waste_free:
+        cmd_base += ["--waste-free"]
     if args.output:
         cmd_base += ["--output", args.output]
     import tempfile
@@ -141,12 +144,22 @@ def worker(args) -> int:
             parameters=problem.parameters,
             rng=jax.random.key(11),
             mesh=mesh,
+            resampling_impl=args.resampling_impl,
+        )
+
+    if args.waste_free and n % args.n_steps:
+        raise SystemExit(
+            f"--waste-free needs particles ({n}) divisible by "
+            f"--n-steps ({args.n_steps})"
         )
 
     # -- timed weak-scaling workload (compile once, time the repeat) ---
     sampler = make_sampler()
+    mutation_kwargs = {"n_steps": args.n_steps}
+    if args.waste_free:
+        mutation_kwargs["waste_free"] = True
     run_kwargs = dict(
-        sampler_kwargs={"n_steps": args.n_steps},
+        sampler_kwargs=mutation_kwargs,
         store_sample_history=False,
         # io_callback checkpoints are single-controller; the drill
         # below uses the host ladder's shard-wise path instead.
@@ -160,7 +173,10 @@ def worker(args) -> int:
         walls.append(time.perf_counter() - t0)
         iters = len(sampler.history.beta)
     wall = sorted(walls)[len(walls) // 2]
-    rate = n * args.n_steps * iters / wall
+    # Waste-free runs M = n/k chains for k steps: n chain-steps per
+    # rung instead of the standard n * k.
+    steps_per_iter = n if args.waste_free else n * args.n_steps
+    rate = steps_per_iter * iters / wall
     ess_rate = float(np.sum(sampler.history.ess)) / wall
 
     # -- sharded checkpoint / resume drill across processes ------------
@@ -209,6 +225,8 @@ def worker(args) -> int:
         "devices": int(n_dev),
         "particles": int(n),
         "mutation_steps": args.n_steps,
+        "waste_free": bool(args.waste_free),
+        "resampling_impl": args.resampling_impl,
         "iterations": iters,
         "wall_s": wall,
         "particle_steps_per_s": rate,
@@ -248,6 +266,19 @@ def main() -> None:
     parser.add_argument("--n-steps", type=int, default=10)
     parser.add_argument("--dims", type=int, default=4)
     parser.add_argument("--reps", type=int, default=3)
+    parser.add_argument(
+        "--resampling-impl",
+        choices=("auto", "ring", "alltoall"),
+        default="auto",
+        help="resampling collective schedule (pod runs typically want "
+        "'ring' or 'alltoall' for the pinned explicit collectives)",
+    )
+    parser.add_argument(
+        "--waste-free",
+        action="store_true",
+        help="Dau & Chopin waste-free mutations (requires "
+        "particles %% n_steps == 0 and n/n_steps tiling the mesh)",
+    )
     parser.add_argument("--workdir", default=None)
     parser.add_argument("--output", default=None)
     parser.add_argument("--no-checkpoint-drill", dest="checkpoint_drill",

@@ -44,3 +44,37 @@ def test_four_process_harness(tmp_path):
     assert result["ess_per_s"] > 0
     assert result["checkpoint_drill"] == "ok"
     assert abs(result["log_z"] - result["true_log_z"]) < 1.0
+
+
+def test_four_process_composed_config(tmp_path):
+    """The pod configuration a real run would use — waste-free
+    mutations + the explicit ring collective — launches through the
+    same harness with flags only (no code changes)."""
+    out_file = tmp_path / "scaling.json"
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    proc = subprocess.run(
+        [
+            sys.executable,
+            str(HARNESS),
+            "--spawn", "4",
+            "--cpu-devices-per-proc", "2",
+            "--particles-per-device", "512",
+            "--n-steps", "4",
+            "--reps", "1",
+            "--waste-free",
+            "--resampling-impl", "ring",
+            "--no-checkpoint-drill",
+            "--workdir", str(tmp_path),
+            "--output", str(out_file),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    result = json.loads(out_file.read_text())
+    assert result["waste_free"] is True
+    assert result["resampling_impl"] == "ring"
+    assert result["processes"] == 4
+    assert abs(result["log_z"] - result["true_log_z"]) < 1.0

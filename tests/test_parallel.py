@@ -298,7 +298,7 @@ class TestWasteFreeComposition:
     M = n/k ancestor population is resampled sharded and the pooled
     k-step chains re-tile ancestor-major without cross-device moves."""
 
-    def _run(self, mesh_arg, rng, **extra):
+    def _run(self, mesh_arg, rng, impl="auto", **extra):
         from aspire_tpu.flows import Flow
         from aspire_tpu.models import GaussianProblem
         from aspire_tpu.samplers import PCNSMC
@@ -318,6 +318,7 @@ class TestWasteFreeComposition:
             parameters=p.parameters,
             rng=jax.random.key(5),
             mesh=mesh_arg,
+            resampling_impl=impl,
         )
         samples = sampler.sample(
             256,
@@ -340,6 +341,32 @@ class TestWasteFreeComposition:
         assert (
             sm_sharded.n_likelihood_evaluations
             == sm_plain.n_likelihood_evaluations
+        )
+
+    @pytest.mark.parametrize("impl", ["ring", "alltoall"])
+    @pytest.mark.parametrize("ladder", [True, False])
+    def test_collectives_compose_with_waste_free(
+        self, mesh, rng, impl, ladder
+    ):
+        """The hand-rolled collectives emit the M = n/k ancestor
+        population directly (n_out < n), so waste-free runs with
+        resampling_impl='ring'/'alltoall' are bit-identical to 'auto'
+        on both the compiled device ladder and the host ladder."""
+        s_coll, sm_coll = self._run(
+            mesh, rng, impl=impl, device_ladder=ladder
+        )
+        s_auto, sm_auto = self._run(
+            mesh, rng, impl="auto", device_ladder=ladder
+        )
+        assert sm_coll.history.beta == pytest.approx(
+            sm_auto.history.beta, rel=1e-9
+        )
+        assert float(s_coll.log_evidence) == pytest.approx(
+            float(s_auto.log_evidence), abs=1e-9
+        )
+        assert (
+            sm_coll.n_likelihood_evaluations
+            == sm_auto.n_likelihood_evaluations
         )
 
     def test_mesh_divisibility_is_validated(self, mesh, rng):
@@ -431,6 +458,48 @@ class TestRingInDeviceLadder:
             float(s_auto.log_evidence), abs=1e-6
         )
 
+    def test_final_resample_honors_impl_when_it_tiles(
+        self, mesh, monkeypatch
+    ):
+        """The n_final_samples draw routes through the collective when
+        the requested size tiles the mesh, and silently falls back to
+        the GSPMD gather when it does not (e.g. 500 on 8 shards)."""
+        from aspire_tpu.ops import resampling as R
+
+        calls = {"n": 0}
+        real = R.ring_resample_matrix
+
+        def counting(*args, **kwargs):
+            calls["n"] += 1
+            return real(*args, **kwargs)
+
+        monkeypatch.setattr(R, "ring_resample_matrix", counting)
+
+        sampler = self._sampler(mesh, "ring")
+        out = sampler.sample(
+            256,
+            sampler_kwargs={"n_steps": 4},
+            n_final_samples=128,
+            device_ladder=True,
+        )
+        assert len(out) == 128
+        in_loop = calls["n"]
+        assert in_loop > 0
+
+        sampler2 = self._sampler(mesh, "ring")
+        before = calls["n"]
+        out2 = sampler2.sample(
+            256,
+            sampler_kwargs={"n_steps": 4},
+            n_final_samples=100,  # does not tile 8 shards
+            device_ladder=True,
+        )
+        assert len(out2) == 100
+        # The in-loop resamples still used the ring; the final draw
+        # did not add a collective call beyond them.
+        ladder_calls = calls["n"] - before
+        assert ladder_calls == in_loop - 1
+
     def test_ring_without_mesh_raises(self):
         sampler = self._sampler(None, "ring")
         with pytest.raises(ValueError, match="mesh-sharded"):
@@ -517,6 +586,46 @@ class TestAllToAllResampling:
         np.testing.assert_array_equal(np.asarray(a2a), np.asarray(ref))
         np.testing.assert_array_equal(np.asarray(a2a), np.asarray(ring))
         assert a2a.sharding.spec == particle_sharding(mesh).spec
+
+    def test_n_out_subpopulation_exact(self, mesh, rng):
+        """n_out < n (waste-free ancestor selection): both collectives
+        emit an (n_out, cols) mesh-sharded matrix bit-identical to the
+        replicated gather, including the a2a overflow fallback."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from aspire_tpu.ops import resampling as R
+
+        key, lw, x = self._inputs(mesh, rng)
+        n, n_out = lw.shape[0], 64
+        ref = x[R.get_resampler("systematic")(key, lw, n_out)]
+        ring = R.ring_resample_matrix(key, lw, x, mesh, n_out=n_out)
+        a2a = R.alltoall_resample_matrix(key, lw, x, mesh, n_out=n_out)
+        assert ring.shape == (n_out, x.shape[1])
+        np.testing.assert_array_equal(np.asarray(ring), np.asarray(ref))
+        np.testing.assert_array_equal(np.asarray(a2a), np.asarray(ref))
+        assert ring.sharding.spec == particle_sharding(mesh).spec
+        assert a2a.sharding.spec == particle_sharding(mesh).spec
+        # Degenerate weights blow the bucket caps: the in-program ring
+        # fallback must honor n_out too.
+        sh = NamedSharding(mesh, P("data"))
+        lw_deg = jax.device_put(
+            jnp.where(jnp.arange(n) == 3, 50.0, -50.0).astype(
+                jnp.float32
+            ),
+            sh,
+        )
+        ref_deg = x[R.get_resampler("systematic")(key, lw_deg, n_out)]
+        a2a_deg = R.alltoall_resample_matrix(
+            key, lw_deg, x, mesh, n_out=n_out
+        )
+        np.testing.assert_array_equal(
+            np.asarray(a2a_deg), np.asarray(ref_deg)
+        )
+        # Non-tiling n_out is rejected up front.
+        with pytest.raises(ValueError, match="divisible by the mesh"):
+            R.ring_resample_matrix(key, lw, x, mesh, n_out=12)
+        with pytest.raises(ValueError, match="divisible by the mesh"):
+            R.alltoall_resample_matrix(key, lw, x, mesh, n_out=12)
 
     def test_overflow_falls_back_to_ring(self, mesh, rng):
         """All weight on one particle: every (src, dst) bucket bound is
