@@ -101,6 +101,22 @@ class Aspire:
         self.bounded_transform = bounded_transform
         self.flow_backend = flow_backend
         self.flow_matching = flow_matching
+        # Reference-only knobs with no meaning in the single-namespace
+        # JAX design (aspire.py:91-92: xp array backend, torch device
+        # string). Swallow them with a pointer instead of letting them
+        # surface later as a flow-constructor TypeError mid-migration.
+        for gone, hint in (
+            ("xp", "arrays are always JAX"),
+            ("device", "placement is mesh/sharding-driven"),
+        ):
+            if gone in kwargs:
+                kwargs.pop(gone)
+                logger.warning(
+                    "Aspire(%s=...) has no effect in aspire_tpu (%s); "
+                    "ignoring. See docs/migration.md.",
+                    gone,
+                    hint,
+                )
         self.flow_kwargs = kwargs
         self.eps = eps
         self.dtype = dtype

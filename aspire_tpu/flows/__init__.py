@@ -18,10 +18,14 @@ _KNOWN_BACKENDS = {
     "realnvp": Flow,
     "maf-rqs": Flow,
     "coupling": Flow,
-    # Aliases for reference-style backend names.
+    # Aliases for reference-style backend names ("zuko" is the
+    # reference default whose default architecture is MAF,
+    # flows/torch/flows.py:155-158 — same density family natively).
     "jax": Flow,
     "flowjax": Flow,
     "native": Flow,
+    "zuko": Flow,
+    "torch": Flow,
     "flow_matching": FlowMatching,
     "cnf": FlowMatching,
 }
@@ -56,7 +60,7 @@ def get_flow_class(
 def default_architecture_for_backend(backend: str) -> str:
     """Map a backend name to the architecture string for :class:`Flow`."""
     name = (backend or "maf").lower()
-    if name in ("jax", "flowjax", "native"):
+    if name in ("jax", "flowjax", "native", "zuko", "torch"):
         return "maf"
     if name in ARCHITECTURES:
         return name

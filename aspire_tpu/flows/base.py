@@ -156,6 +156,36 @@ class Flow:
         """
         x = asarray(x, dtype=self.dtype)
         x_t = self.data_transform.fit(x)
+        # Reference trainer spellings (flows/torch/flows.py:170-180)
+        # map onto TrainConfig fields so migrating fit() calls keep
+        # their knobs live.
+        aliases = {
+            "lr": "learning_rate",
+            "clip_grad": "max_grad_norm",
+            "lr_annealing": "annealing",
+        }
+        for old, new in aliases.items():
+            if old in kwargs:
+                if new in kwargs and kwargs[new] != kwargs[old]:
+                    raise ValueError(
+                        f"Conflicting fit kwargs: {old}={kwargs[old]!r} "
+                        f"and {new}={kwargs[new]!r}"
+                    )
+                value = kwargs.pop(old)
+                # The reference spells "no clipping" as clip_grad=None;
+                # TrainConfig's max_grad_norm is always a float, so
+                # drop the alias entirely and keep the default.
+                if value is not None:
+                    kwargs[new] = value
+        if kwargs.get("patience", 0) is None:
+            # Reference: patience=None disables early stopping; the
+            # trainer's patience is an int, so "off" = the epoch count.
+            kwargs["patience"] = int(
+                kwargs.get(
+                    "n_epochs",
+                    TrainConfig.__dataclass_fields__["n_epochs"].default,
+                )
+            )
         config = TrainConfig(
             **{
                 k: v

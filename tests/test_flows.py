@@ -151,6 +151,35 @@ class TestFlow:
         )
         assert history.training_loss[-1] < history.training_loss[0]
 
+    def test_fit_accepts_reference_kwarg_spellings(self, key, caplog):
+        """The reference trainer's knobs (lr, clip_grad, lr_annealing,
+        patience=None; flows/torch/flows.py:170-180) stay live instead
+        of being dropped with an 'unknown kwargs' warning."""
+        import logging
+
+        rng = np.random.default_rng(0)
+        data = rng.normal(2.0, 0.5, size=(600, 2))
+        flow = Flow(dims=2, architecture="maf", key=1, n_layers=2)
+        with caplog.at_level(logging.WARNING, logger="aspire_tpu"):
+            history = flow.fit(
+                data,
+                n_epochs=5,
+                batch_size=256,
+                lr=5e-3,
+                clip_grad=2.0,
+                lr_annealing=True,
+                patience=None,
+            )
+        assert not any(
+            "Ignoring unknown fit kwargs" in r.message for r in caplog.records
+        )
+        assert history.training_loss[-1] < history.training_loss[0]
+        # clip_grad=None means "no clipping" in the reference — it must
+        # not crash nor be forwarded as an invalid None norm.
+        flow.fit(data, n_epochs=2, batch_size=256, clip_grad=None)
+        with pytest.raises(ValueError, match="Conflicting fit kwargs"):
+            flow.fit(data, n_epochs=2, lr=1e-3, learning_rate=2e-3)
+
     def test_fit_learns_gaussian(self, key):
         rng = np.random.default_rng(0)
         data = rng.normal(1.0, 0.5, size=(4000, 2))
