@@ -37,6 +37,57 @@ from .base import Sampler
 logger = logging.getLogger("aspire_tpu")
 
 
+@jax.jit
+def _bisect_pt_beta(log_l, log_base, beta_prev, target, tol):
+    """Next PT rung by conditional-ESS bisection.
+
+    The rung-placement discipline the SMC ladder uses (on-device
+    fixed-54-iteration bisection; ``smc._bisect_beta``), applied to the
+    PT tempering path ``p_beta ∝ exp(logPi + beta * logL)`` with a
+    probe population drawn from the flow ``q``. The criterion is the
+    conditional ESS of Zhou, Johansen & Aston (2016, JCGS 25:3): with
+    normalized probe weights ``u ∝ exp(log_base + beta_prev * logL)``
+    (``log_base = logPi - log_q``) and increment
+    ``v = exp((beta - beta_prev) * logL)``,
+
+        CESS(beta) = n * (Σ u v)^2 / (Σ u v^2),
+
+    which estimates the incremental overlap between adjacent rungs
+    under p_{beta_prev} itself — not merely the probe's overlap with
+    the flow. Returns the largest ``beta`` in ``[beta_prev, 1]`` with
+    ``CESS >= target * n`` (monotone in beta near beta_prev; 54
+    halvings exhaust any practical tolerance, matching the SMC
+    bisection's fixed-trip-count rationale).
+    """
+    lu = log_base + beta_prev * log_l
+    lu = lu - jax.scipy.special.logsumexp(lu)
+    log_target = jnp.log(target)
+
+    def ok(beta):
+        lv = (beta - beta_prev) * log_l
+        num = 2.0 * jax.scipy.special.logsumexp(lu + lv)
+        den = jax.scipy.special.logsumexp(lu + 2.0 * lv)
+        return num - den >= log_target
+
+    lo0 = jnp.where(ok(1.0), 1.0, beta_prev)
+    hi0 = jnp.asarray(1.0, dtype=log_l.dtype)
+
+    def body(_, carry):
+        lo, hi = carry
+        done = hi - lo <= tol
+        mid = 0.5 * (lo + hi)
+        good = ok(mid)
+        new_lo = jnp.where(good, mid, lo)
+        new_hi = jnp.where(good, hi, mid)
+        return (
+            jnp.where(done, lo, new_lo),
+            jnp.where(done, hi, new_hi),
+        )
+
+    lo, _ = jax.lax.fori_loop(0, 54, body, (lo0, hi0))
+    return lo
+
+
 class MCMCSampler(Sampler):
     """Base for MCMC samplers: posterior log-density + chain persistence."""
 
@@ -240,20 +291,253 @@ class ParallelTemperedSampler(MCMCSampler):
     (temperature is just a leading axis on device).
     """
 
+    def adaptive_beta_ladder(
+        self,
+        samples,
+        target_efficiency: float = 0.9,
+        max_n_temperatures: int = 32,
+        min_n_temperatures: int = 2,
+        min_beta_step: float = 1e-4,
+        tol: float = 1e-8,
+        ti_quadrature_tol: float = 0.1,
+    ) -> np.ndarray:
+        """Place PT rungs where the tempered path actually steepens.
+
+        Walks beta from 0 to 1, each rung chosen by the conditional-ESS
+        bisection (:func:`_bisect_pt_beta`) on a probe population — the
+        same adaptive-ladder control the SMC driver uses, instead of
+        the blind geometric default. Returns betas sorted descending
+        with the hottest rung forced to 0 (stepping-stone convention).
+
+        The CESS criterion controls adjacent-rung *overlap* (swap
+        acceptance and stepping-stone bridging); a well-matched flow
+        proposal can satisfy it with very few rungs, which leaves the
+        thermodynamic-integration trapezoid under-resolved — the
+        integrand ``E_beta[logL]`` is steepest near ``beta=0``, exactly
+        where overlap is cheapest. A second, quadrature-driven stage
+        therefore midpoint-splits segments until every segment's
+        trapezoid-vs-midpoint discrepancy (probe importance-weighted
+        rung means of ``logL``) is below ``ti_quadrature_tol`` nats and
+        at least ``min_n_temperatures`` rungs exist, up to
+        ``max_n_temperatures``. Splitting drives the extra rungs into
+        the curved hot end where TI actually needs them, and overlap
+        only improves under subdivision.
+        """
+        log_l = jnp.asarray(samples.log_likelihood)
+        log_base = jnp.asarray(samples.log_prior) - jnp.asarray(
+            samples.log_q
+        )
+        betas = [0.0]
+        while betas[-1] < 1.0 and len(betas) < max_n_temperatures:
+            b = float(
+                _bisect_pt_beta(
+                    log_l,
+                    log_base,
+                    jnp.asarray(betas[-1], dtype=log_l.dtype),
+                    target_efficiency,
+                    tol,
+                )
+            )
+            b = min(max(b, betas[-1] + min_beta_step), 1.0)
+            betas.append(b)
+        if betas[-1] < 1.0:
+            logger.warning(
+                "Adaptive PT ladder hit max_n_temperatures=%d before "
+                "reaching beta=1 (target_efficiency=%.3f); appending "
+                "the cold rung — consider raising the cap or lowering "
+                "the target.",
+                max_n_temperatures,
+                target_efficiency,
+            )
+            betas.append(1.0)
+        # Quadrature refinement. Self-normalized IS estimate of the TI
+        # integrand E_beta[logL] from the probe. Near beta=0 the
+        # weights are prior-dominated and noisy, but this only steers
+        # rung *placement* (never the estimator itself), and any bias
+        # still points the splits at the steep hot end.
+        log_l_np = np.asarray(log_l, dtype=np.float64)
+        log_base_np = np.asarray(log_base, dtype=np.float64)
+
+        def rung_mean(b: float) -> float:
+            lw = log_base_np + b * log_l_np
+            lw -= lw.max()
+            w = np.exp(lw)
+            return float(np.sum(w * log_l_np) / np.sum(w))
+
+        def segment_error(lo: float, hi: float) -> float:
+            # Trapezoid-vs-midpoint discrepancy: ~0 where E is linear
+            # in beta, large where it curves (the hot end).
+            e_mid = rung_mean(0.5 * (lo + hi))
+            e_trap = 0.5 * (means[lo] + means[hi])
+            return abs(e_trap - e_mid) * (hi - lo)
+
+        means = {b: rung_mean(b) for b in betas}
+        floor = min(min_n_temperatures, max_n_temperatures)
+        while len(betas) < max_n_temperatures:
+            errs = [
+                segment_error(lo, hi)
+                for lo, hi in zip(betas[:-1], betas[1:])
+            ]
+            i = int(np.argmax(errs))
+            if (
+                len(betas) >= floor
+                and errs[i] <= ti_quadrature_tol
+            ):
+                break
+            mid = 0.5 * (betas[i] + betas[i + 1])
+            if min(mid - betas[i], betas[i + 1] - mid) < min_beta_step:
+                break
+            betas.insert(i + 1, mid)
+            means[mid] = rung_mean(mid)
+        return np.asarray(betas[::-1], dtype=float)
+
+    def refine_ladder_from_run(
+        self,
+        samples: PTMCMCSamples,
+        n_temperatures: int,
+        discard_fraction: float = 0.5,
+        min_beta_step: float = 1e-4,
+    ) -> np.ndarray:
+        """Re-place PT rungs from a pilot run's *measured* rung means.
+
+        The flow probe behind :meth:`adaptive_beta_ladder` cannot see
+        the prior-dominated hot end (importance weights from a
+        posterior-matched flow to the beta~0 targets collapse onto a
+        handful of tail draws), but a pilot PT run measures
+        ``E_beta[logL]`` at every rung directly — the ``beta=0`` chain
+        samples the prior itself. New rungs are placed at equal
+        increments of the measured integrand (equal-``dE`` spacing, the
+        classic TI discipline of Calderhead & Girolami 2009): betas
+        where the monotone interpolant of the measured rung means
+        crosses ``n_temperatures`` equally spaced levels between
+        ``E_0[logL]`` and ``E_1[logL]``. For a convex integrand this
+        equalizes per-segment trapezoid error, concentrating rungs in
+        the curved hot end.
+
+        The first ``discard_fraction`` of pilot rounds is dropped as
+        burn-in; rungs closer than ``min_beta_step`` are merged.
+        Returns betas sorted descending with endpoints pinned to 1, 0.
+        """
+        t_dim, r_dim, n_dim = samples.chain_shape
+        ll = np.asarray(
+            samples.log_likelihood, dtype=np.float64
+        ).reshape(t_dim, r_dim, n_dim)
+        start = min(int(r_dim * discard_fraction), r_dim - 1)
+        tail = ll[:, start:]
+        finite = np.isfinite(tail)
+        n_finite = finite.sum(axis=(1, 2))
+        sums = np.where(finite, tail, 0.0).sum(axis=(1, 2))
+        means = np.where(
+            n_finite > 0, sums / np.maximum(n_finite, 1), np.nan
+        )
+        betas_desc = np.asarray(samples.betas, dtype=np.float64)
+        order = np.argsort(betas_desc)
+        b_asc = betas_desc[order]
+        e_asc = means[order]
+        valid = np.isfinite(e_asc)
+        b_asc, e_asc = b_asc[valid], e_asc[valid]
+        if len(b_asc) < 2 or e_asc[-1] - e_asc[0] < 1e-9:
+            # Flat or unmeasurable integrand: the pilot ladder is
+            # already as good as any.
+            return betas_desc
+        # Monotone envelope: E_beta[logL] is nondecreasing in beta in
+        # expectation; pilot noise must not fold the interpolant back.
+        e_asc = np.maximum.accumulate(e_asc)
+        levels = np.linspace(e_asc[0], e_asc[-1], n_temperatures)
+        new_b = np.interp(levels[1:-1], e_asc, b_asc)
+        # Union with the pilot rungs: equal-dE alone would abandon the
+        # pilot's cold-side rungs whenever one hot segment holds most
+        # of the integrand's range (the interpolant is only piecewise
+        # linear — the measured grid is still the best cold-side
+        # knowledge we have), while subdivision improves both swap
+        # overlap and quadrature monotonically. New rungs that do not
+        # advance the measured integrand past an existing rung by a
+        # quarter level are redundant and dropped.
+        e_step = (e_asc[-1] - e_asc[0]) / max(n_temperatures - 1, 1)
+        e_pilot = np.interp(b_asc, b_asc, e_asc)
+        keep_new = [
+            b
+            for b in new_b
+            if np.abs(
+                np.interp(b, b_asc, e_asc) - e_pilot
+            ).min() > 0.25 * e_step
+        ]
+        union = np.sort(np.concatenate([b_asc, keep_new]))
+        ladder = [0.0]
+        for b in union:
+            if b - ladder[-1] >= min_beta_step and b <= 1.0 - min_beta_step:
+                ladder.append(float(b))
+        ladder.append(1.0)
+        return np.asarray(ladder[::-1], dtype=float)
+
     @track_calls
     def sample(
         self,
         n_samples: int,
         n_steps: int = 100,
         n_temperatures: int = 8,
-        betas: np.ndarray | None = None,
+        betas: np.ndarray | str | None = None,
         swap_every: int = 1,
         a: float = 2.0,
         burn_in: int = 0,
         thin: int = 1,
+        ladder_target_efficiency: float = 0.9,
+        max_n_temperatures: int = 32,
+        ladder_probe_size: int = 4096,
+        ladder_pilot_steps: int = 0,
         **kwargs,
     ) -> PTMCMCSamples:
-        if betas is None:
+        probe = None
+        if isinstance(betas, str):
+            if betas != "adaptive":
+                raise ValueError(
+                    f"Unknown betas option {betas!r}: pass an array, "
+                    "None (geometric ladder) or 'adaptive'."
+                )
+            # CESS and the importance-weighted rung means need a probe
+            # large enough to resolve the prior-dominated hot end —
+            # n_samples alone (often tens of chains) is far too small.
+            # The probe's head doubles as the first temperature's
+            # initial population, so most of its target evaluations
+            # are recycled.
+            probe = self.draw_initial_samples(
+                max(n_samples, ladder_probe_size)
+            )
+            betas = self.adaptive_beta_ladder(
+                probe,
+                target_efficiency=ladder_target_efficiency,
+                max_n_temperatures=max_n_temperatures,
+                # n_temperatures doubles as the floor: TI quadrature
+                # needs rung density even when overlap does not.
+                min_n_temperatures=n_temperatures,
+            )
+            probe = probe[:n_samples]
+            if ladder_pilot_steps > 0:
+                # Two-phase adaptation: a short pilot run on the probe
+                # ladder, then equal-dE re-placement from the rung
+                # means it actually measured (the probe cannot see the
+                # prior-dominated hot end; the pilot's beta=0 chain
+                # can). `__wrapped__` skips @track_calls so the pilot
+                # never pollutes the recorded call history that
+                # checkpoint resume replays.
+                pilot = ParallelTemperedSampler.sample.__wrapped__(
+                    self,
+                    n_samples,
+                    n_steps=ladder_pilot_steps,
+                    betas=np.asarray(betas),
+                    swap_every=swap_every,
+                    a=a,
+                )
+                betas = self.refine_ladder_from_run(
+                    pilot,
+                    n_temperatures=max(n_temperatures, len(betas)),
+                )
+                logger.info(
+                    "Pilot-refined PT ladder (%d rungs): %s",
+                    len(betas),
+                    np.array2string(np.asarray(betas), precision=4),
+                )
+        elif betas is None:
             # Geometric ladder beta_t = (1/2)^t, hottest forced to 0 for
             # the stepping-stone estimator.
             betas = np.concatenate(
@@ -263,7 +547,13 @@ class ParallelTemperedSampler(MCMCSampler):
         n_temps = len(betas)
         betas_arr = jnp.asarray(betas)
 
-        init = self.draw_initial_samples(n_samples * n_temps)
+        if probe is not None and n_temps > 1:
+            rest = self.draw_initial_samples(n_samples * (n_temps - 1))
+            init = type(probe).concatenate([probe, rest])
+        elif probe is not None:
+            init = probe
+        else:
+            init = self.draw_initial_samples(n_samples * n_temps)
         z0 = self.fit_preconditioning_transform(init.x)
         z0 = z0.reshape(n_temps, n_samples, self.dims)
 

@@ -877,7 +877,12 @@ class PTMCMCSamples(MCMCSamples):
         ``method="variance"`` reports the delta-method quadrature error
         (autocorrelation-deflated ESS per rung when ``correlated``);
         ``method="coarse"`` reports the discretization error
-        ``|I_full - I_half|`` from re-integrating on every other rung.
+        ``|I_full - I_half|`` from re-integrating on every other rung;
+        ``method="total"`` adds the Richardson estimate of the
+        remaining trapezoid bias, ``|I_full - I_half| / 3``, on top of
+        the sampling error — an under-resolved ladder (too few rungs
+        where ``E_beta[logL]`` curves) then widens the reported bar
+        instead of standing confidently wrong.
 
         Behavioral parity with reference samples.py:1013-1102; the
         estimator itself is an original jitted reduction
@@ -892,15 +897,21 @@ class PTMCMCSamples(MCMCSamples):
         )
         if method == "variance":
             return logz, err
+        # Richardson-style check: keep every other rung plus both
+        # endpoints, re-integrate, and compare.
+        keep = sorted(set(range(0, len(betas), 2)) | {len(betas) - 1})
+        coarse = float(np.trapezoid(rung_means[keep], betas[keep]))
         if method == "coarse":
-            # Richardson-style check: keep every other rung plus both
-            # endpoints, re-integrate, and report the difference.
-            keep = sorted(set(range(0, len(betas), 2)) | {len(betas) - 1})
-            coarse = float(np.trapezoid(rung_means[keep], betas[keep]))
             return logz, abs(logz - coarse)
+        if method == "total":
+            # Trapezoid error is O(h^2): halving the grid scales it by
+            # ~4, so the residual bias of the full grid is
+            # ~|I_full - I_half| / 3. Bias and noise are added
+            # linearly (conservative — they do not cancel).
+            return logz, err + abs(logz - coarse) / 3.0
         raise ValueError(
-            f"Unknown TI error method {method!r}; expected 'variance' "
-            "or 'coarse'."
+            f"Unknown TI error method {method!r}; expected 'variance', "
+            "'coarse' or 'total'."
         )
 
     def log_evidence_stepping_stone(

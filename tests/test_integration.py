@@ -129,6 +129,57 @@ def test_ptmcmc_evidence(fitted_aspire):
     assert logz_ss == pytest.approx(TRUE_LOG_Z, abs=1.0)
 
 
+def test_ptmcmc_adaptive_ladder(fitted_aspire):
+    """CESS-placed rungs (betas='adaptive') run end-to-end and keep
+    evidence parity; n_temperatures acts as the rung-density floor."""
+    samples = fitted_aspire.sample_posterior(
+        n_samples=32,
+        sampler="ptmcmc",
+        n_steps=60,
+        n_temperatures=6,
+        betas="adaptive",
+    )
+    betas = np.asarray(samples.betas)
+    assert betas[0] == 1.0 and betas[-1] == 0.0
+    assert len(betas) >= 6
+    logz_ti, _ = samples.log_evidence_thermodynamic_integration()
+    logz_ss, _ = samples.log_evidence_stepping_stone()
+    assert logz_ti == pytest.approx(TRUE_LOG_Z, abs=1.0)
+    assert logz_ss == pytest.approx(TRUE_LOG_Z, abs=1.0)
+
+
+def test_ptmcmc_pilot_refined_ladder(fitted_aspire):
+    """Two-phase adaptation: a pilot run measures the rung means and
+    equal-dE re-placement drives rungs into the curved hot end, where
+    the flow probe is blind. TI tightens past both the geometric and
+    the probe-only ladders on this problem."""
+    samples = fitted_aspire.sample_posterior(
+        n_samples=32,
+        sampler="ptmcmc",
+        n_steps=60,
+        n_temperatures=6,
+        betas="adaptive",
+        ladder_pilot_steps=20,
+    )
+    betas = np.asarray(samples.betas)
+    assert betas[0] == 1.0 and betas[-1] == 0.0
+    # The refined ladder subdivides the hot end (integrand curvature
+    # lives at small beta for a broad prior).
+    assert np.sum((betas > 0) & (betas < 0.2)) >= 2
+    logz_ti, err_ti = samples.log_evidence_thermodynamic_integration()
+    assert logz_ti == pytest.approx(TRUE_LOG_Z, abs=0.5)
+
+
+def test_ptmcmc_unknown_betas_string_raises(fitted_aspire):
+    with pytest.raises(ValueError, match="adaptive"):
+        fitted_aspire.sample_posterior(
+            n_samples=8,
+            sampler="ptmcmc",
+            n_steps=4,
+            betas="bogus",
+        )
+
+
 def test_host_likelihood_fallback(initial_samples):
     """Non-jittable targets run through the host path end-to-end."""
     asp = Aspire(

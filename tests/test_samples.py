@@ -463,6 +463,37 @@ class TestPTMCMCSamplesRound3:
             and np.array_equal(picked[1], picked[2])
         )
 
+    def test_ti_total_error_covers_discretization(self, rng):
+        # Convex integrand E(beta) = -8*(1-beta)^2 sampled on a COARSE
+        # ladder: the trapezoid overshoots the true integral (-8/3) by
+        # ~(2/3) nat while per-rung sampling noise is tiny. The
+        # "variance" bar misses the truth; "total" must cover it.
+        n_temps, n_steps, n_walkers = 3, 400, 4
+        betas = np.linspace(1, 0, n_temps)
+        means = -8.0 * (1.0 - betas) ** 2
+        ll = means[:, None, None] + rng.normal(
+            0.0, 0.05, size=(n_temps, n_steps, n_walkers)
+        )
+        s = PTMCMCSamples(
+            x=np.zeros((n_temps * n_steps * n_walkers, 1)),
+            log_likelihood=ll.reshape(-1),
+            chain_shape=(n_temps, n_steps, n_walkers),
+            betas=betas,
+        )
+        true_logz = -8.0 / 3.0
+        logz_v, err_v = s.log_evidence_thermodynamic_integration(
+            method="variance"
+        )
+        logz_t, err_t = s.log_evidence_thermodynamic_integration(
+            method="total"
+        )
+        assert logz_t == logz_v
+        assert err_t > err_v
+        assert abs(logz_v - true_logz) > 2 * err_v  # variance alone lies
+        assert abs(logz_t - true_logz) < 2 * err_t  # total covers it
+        with pytest.raises(ValueError, match="total"):
+            s.log_evidence_thermodynamic_integration(method="nope")
+
     def test_betas_validation(self, rng):
         chain = rng.normal(size=(3, 5, 2, 1))
         kwargs = dict(

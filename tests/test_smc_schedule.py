@@ -170,3 +170,170 @@ class TestLineageDegeneracy:
             s._last_chain_stats = (2.0, 0.2)  # fast locally, trapped
             s._update_lineage_after_mutation()
         assert s._lineage_fraction < 0.4
+
+
+class TestAdaptivePTLadder:
+    """Conditional-ESS rung placement for the PT sampler
+    (``mcmc._bisect_pt_beta`` / ``adaptive_beta_ladder``) — the same
+    ladder-control discipline as the SMC bisection, applied to the
+    tempered path with a flow-probe population."""
+
+    def _cess(self, log_l, log_base, beta_prev, beta):
+        import jax.scipy.special as jss
+
+        lu = log_base + beta_prev * log_l
+        lu = lu - jss.logsumexp(lu)
+        lv = (beta - beta_prev) * log_l
+        num = 2.0 * jss.logsumexp(lu + lv)
+        den = jss.logsumexp(lu + 2.0 * lv)
+        return float(jnp.exp(num - den))
+
+    def test_bisection_hits_cess_target(self, rng):
+        from aspire_tpu.samplers.mcmc import _bisect_pt_beta
+
+        log_l = jnp.asarray(rng.normal(0.0, 8.0, size=2000))
+        log_base = jnp.asarray(rng.normal(0.0, 0.3, size=2000))
+        target = 0.9
+        beta = float(
+            _bisect_pt_beta(log_l, log_base, 0.0, target, 1e-8)
+        )
+        assert 0.0 < beta < 1.0
+        # CESS at the returned rung meets the target...
+        assert self._cess(log_l, log_base, 0.0, beta) >= target - 1e-6
+        # ...and a slightly colder rung would not (maximality).
+        assert (
+            self._cess(log_l, log_base, 0.0, min(beta + 1e-3, 1.0))
+            < target
+        )
+
+    def test_bisection_jumps_to_one_when_overlap_is_high(self, rng):
+        from aspire_tpu.samplers.mcmc import _bisect_pt_beta
+
+        # Tiny likelihood spread: one rung suffices.
+        log_l = jnp.asarray(rng.normal(0.0, 1e-3, size=500))
+        log_base = jnp.zeros(500)
+        beta = float(
+            _bisect_pt_beta(log_l, log_base, 0.0, 0.9, 1e-8)
+        )
+        assert beta == pytest.approx(1.0)
+
+    def _ladder(self, rng, spread, **kwargs):
+        from aspire_tpu.samplers.mcmc import ParallelTemperedSampler
+
+        s = ParallelTemperedSampler.__new__(ParallelTemperedSampler)
+        n = 2000
+
+        class Probe:
+            log_likelihood = rng.normal(0.0, spread, size=n)
+            log_prior = np.full(n, -1.0)
+            log_q = rng.normal(-1.0, 0.2, size=n)
+
+        return s.adaptive_beta_ladder(Probe(), **kwargs)
+
+    def test_ladder_shape_and_ordering(self, rng):
+        betas = self._ladder(rng, spread=8.0, min_n_temperatures=4)
+        # Descending, cold end exactly 1, hot end exactly 0.
+        assert betas[0] == 1.0
+        assert betas[-1] == 0.0
+        assert np.all(np.diff(betas) < 0)
+        assert len(betas) >= 4
+
+    def test_hard_target_gets_more_rungs_than_easy(self, rng):
+        easy = self._ladder(rng, spread=0.5, min_n_temperatures=2)
+        hard = self._ladder(rng, spread=30.0, min_n_temperatures=2)
+        assert len(hard) > len(easy)
+
+    def test_min_count_backfills_by_midpoint_split(self, rng):
+        betas = self._ladder(rng, spread=1e-3, min_n_temperatures=6)
+        assert len(betas) == 6
+        assert betas[0] == 1.0 and betas[-1] == 0.0
+
+    def test_cap_appends_cold_rung(self, rng):
+        betas = self._ladder(
+            rng,
+            spread=200.0,
+            min_n_temperatures=2,
+            max_n_temperatures=5,
+            target_efficiency=0.999,
+        )
+        assert betas[0] == 1.0
+        assert len(betas) <= 6  # cap + forced cold rung
+
+
+class TestPilotLadderRefinement:
+    """Equal-dE rung re-placement from measured pilot rung means
+    (``ParallelTemperedSampler.refine_ladder_from_run``)."""
+
+    def _pt_samples(self, betas_desc, rung_means, noise=0.0, rng=None):
+        from aspire_tpu.samples import PTMCMCSamples
+
+        t, r, n = len(betas_desc), 8, 16
+        ll = np.repeat(
+            np.asarray(rung_means, float)[:, None, None], r, axis=1
+        ).repeat(n, axis=2)
+        if noise and rng is not None:
+            ll = ll + rng.normal(0.0, noise, size=ll.shape)
+        s = PTMCMCSamples(
+            x=np.zeros((t * r * n, 2)),
+            chain_shape=(t, r, n),
+            betas=np.asarray(betas_desc, float),
+        )
+        s.log_likelihood = ll.reshape(-1)
+        return s
+
+    def _sampler(self):
+        from aspire_tpu.samplers.mcmc import ParallelTemperedSampler
+
+        return ParallelTemperedSampler.__new__(ParallelTemperedSampler)
+
+    def test_splits_concentrate_in_steep_segment(self):
+        # Hot segment [0, 0.2] holds 30 of the 33 nats of integrand
+        # range: the refined ladder must subdivide it.
+        betas = [1.0, 0.6, 0.2, 0.0]
+        means = [-3.0, -4.0, -6.0, -36.0]
+        out = self._sampler().refine_ladder_from_run(
+            self._pt_samples(betas, means), n_temperatures=8
+        )
+        assert out[0] == 1.0 and out[-1] == 0.0
+        assert np.all(np.diff(out) < 0)
+        # Pilot rungs survive (union), plus new hot-end rungs.
+        for b in betas:
+            assert np.min(np.abs(out - b)) < 1e-12
+        assert np.sum(out < 0.2) > np.sum((out >= 0.2) & (out < 1.0))
+
+    def test_flat_integrand_returns_pilot_ladder(self):
+        betas = [1.0, 0.5, 0.0]
+        out = self._sampler().refine_ladder_from_run(
+            self._pt_samples(betas, [-2.0, -2.0, -2.0]),
+            n_temperatures=8,
+        )
+        np.testing.assert_array_equal(out, betas)
+
+    def test_redundant_levels_are_dropped(self):
+        # Linear integrand on an equal-dE pilot grid: every new level
+        # coincides with an existing rung, so nothing is added.
+        betas = np.linspace(1.0, 0.0, 5)
+        means = -2.0 - 10.0 * (1.0 - betas)
+        out = self._sampler().refine_ladder_from_run(
+            self._pt_samples(betas, means), n_temperatures=5
+        )
+        assert len(out) == len(betas)
+
+    def test_nonfinite_rungs_are_ignored(self, rng):
+        betas = [1.0, 0.5, 0.2, 0.0]
+        means = [-3.0, -5.0, np.nan, -30.0]
+        s = self._pt_samples(betas, means)
+        out = self._sampler().refine_ladder_from_run(
+            s, n_temperatures=6
+        )
+        assert np.all(np.isfinite(out))
+        assert out[0] == 1.0 and out[-1] == 0.0
+
+    def test_noise_never_breaks_monotonicity(self, rng):
+        betas = [1.0, 0.7, 0.4, 0.2, 0.1, 0.0]
+        means = [-3.0, -3.2, -4.0, -6.0, -9.0, -36.0]
+        out = self._sampler().refine_ladder_from_run(
+            self._pt_samples(betas, means, noise=0.5, rng=rng),
+            n_temperatures=10,
+        )
+        assert np.all(np.diff(out) < 0)
