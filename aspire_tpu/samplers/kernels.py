@@ -108,6 +108,38 @@ def _mahalanobis_sq(ref: GaussianReference, x: jax.Array) -> jax.Array:
     return jnp.sum(z**2, axis=-1)
 
 
+def monotone_beta_bisect(ok, beta_prev, tol, dtype):
+    """Largest ``beta`` in ``[beta_prev, 1]`` whose predicate holds.
+
+    Shared scaffold of the SMC ESS bisection (``smc._bisect_beta``) and
+    the PT CESS bisection (``mcmc._bisect_pt_beta``): ``ok(beta)`` must
+    be monotone-decreasing in beta near ``beta_prev``. Jumps straight
+    to 1 when ``ok(1.0)`` holds, otherwise runs a FIXED 54-halving
+    bisection (2^-54 is below any practical tolerance; extra trips are
+    no-ops once the interval hits the dtype resolution — a
+    tolerance-conditioned ``while_loop`` would never terminate in
+    float32, where 1e-8 is below the resolution near 1.0). Trace-safe:
+    call under jit with ``ok`` closing over device arrays.
+    """
+    lo0 = jnp.where(ok(1.0), jnp.asarray(1.0, dtype=dtype), beta_prev)
+    hi0 = jnp.asarray(1.0, dtype=dtype)
+
+    def body(_, carry):
+        lo, hi = carry
+        done = hi - lo <= tol
+        mid = 0.5 * (lo + hi)
+        good = ok(mid)
+        new_lo = jnp.where(good, mid, lo)
+        new_hi = jnp.where(good, hi, mid)
+        return (
+            jnp.where(done, lo, new_lo),
+            jnp.where(done, hi, new_hi),
+        )
+
+    lo, _ = jax.lax.fori_loop(0, 54, body, (lo0, hi0))
+    return lo
+
+
 def gamma_fixed_shape(key, alpha: float, n: int, dtype) -> jax.Array:
     """Sample Gamma(alpha, 1) for a *static* shape parameter.
 

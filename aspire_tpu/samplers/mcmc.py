@@ -55,9 +55,9 @@ def _bisect_pt_beta(log_l, log_base, beta_prev, target, tol):
     which estimates the incremental overlap between adjacent rungs
     under p_{beta_prev} itself — not merely the probe's overlap with
     the flow. Returns the largest ``beta`` in ``[beta_prev, 1]`` with
-    ``CESS >= target * n`` (monotone in beta near beta_prev; 54
-    halvings exhaust any practical tolerance, matching the SMC
-    bisection's fixed-trip-count rationale).
+    ``CESS >= target * n`` (monotone in beta near beta_prev), via the
+    bisection scaffold shared with the SMC ladder
+    (:func:`aspire_tpu.samplers.kernels.monotone_beta_bisect`).
     """
     lu = log_base + beta_prev * log_l
     lu = lu - jax.scipy.special.logsumexp(lu)
@@ -69,23 +69,7 @@ def _bisect_pt_beta(log_l, log_base, beta_prev, target, tol):
         den = jax.scipy.special.logsumexp(lu + 2.0 * lv)
         return num - den >= log_target
 
-    lo0 = jnp.where(ok(1.0), 1.0, beta_prev)
-    hi0 = jnp.asarray(1.0, dtype=log_l.dtype)
-
-    def body(_, carry):
-        lo, hi = carry
-        done = hi - lo <= tol
-        mid = 0.5 * (lo + hi)
-        good = ok(mid)
-        new_lo = jnp.where(good, mid, lo)
-        new_hi = jnp.where(good, hi, mid)
-        return (
-            jnp.where(done, lo, new_lo),
-            jnp.where(done, hi, new_hi),
-        )
-
-    lo, _ = jax.lax.fori_loop(0, 54, body, (lo0, hi0))
-    return lo
+    return K.monotone_beta_bisect(ok, beta_prev, tol, log_l.dtype)
 
 
 class MCMCSampler(Sampler):
@@ -374,19 +358,25 @@ class ParallelTemperedSampler(MCMCSampler):
         means = {b: rung_mean(b) for b in betas}
         floor = min(min_n_temperatures, max_n_temperatures)
         while len(betas) < max_n_temperatures:
-            errs = [
-                segment_error(lo, hi)
-                for lo, hi in zip(betas[:-1], betas[1:])
-            ]
-            i = int(np.argmax(errs))
-            if (
-                len(betas) >= floor
-                and errs[i] <= ti_quadrature_tol
-            ):
+            gaps = np.diff(betas)
+            splittable = np.nonzero(gaps >= 2 * min_beta_step)[0]
+            if splittable.size == 0:
+                break
+            errs = np.array(
+                [
+                    segment_error(betas[i], betas[i + 1])
+                    for i in splittable
+                ]
+            )
+            if errs.max() > ti_quadrature_tol:
+                i = int(splittable[np.argmax(errs)])
+            elif len(betas) < floor:
+                # Quadrature satisfied but the rung-density floor is
+                # not: split the widest remaining segment.
+                i = int(splittable[np.argmax(gaps[splittable])])
+            else:
                 break
             mid = 0.5 * (betas[i] + betas[i + 1])
-            if min(mid - betas[i], betas[i + 1] - mid) < min_beta_step:
-                break
             betas.insert(i + 1, mid)
             means[mid] = rung_mean(mid)
         return np.asarray(betas[::-1], dtype=float)
@@ -397,6 +387,7 @@ class ParallelTemperedSampler(MCMCSampler):
         n_temperatures: int,
         discard_fraction: float = 0.5,
         min_beta_step: float = 1e-4,
+        max_n_temperatures: int | None = None,
     ) -> np.ndarray:
         """Re-place PT rungs from a pilot run's *measured* rung means.
 
@@ -454,12 +445,11 @@ class ParallelTemperedSampler(MCMCSampler):
         # advance the measured integrand past an existing rung by a
         # quarter level are redundant and dropped.
         e_step = (e_asc[-1] - e_asc[0]) / max(n_temperatures - 1, 1)
-        e_pilot = np.interp(b_asc, b_asc, e_asc)
         keep_new = [
             b
             for b in new_b
             if np.abs(
-                np.interp(b, b_asc, e_asc) - e_pilot
+                np.interp(b, b_asc, e_asc) - e_asc
             ).min() > 0.25 * e_step
         ]
         union = np.sort(np.concatenate([b_asc, keep_new]))
@@ -468,6 +458,16 @@ class ParallelTemperedSampler(MCMCSampler):
             if b - ladder[-1] >= min_beta_step and b <= 1.0 - min_beta_step:
                 ladder.append(float(b))
         ladder.append(1.0)
+        if max_n_temperatures is not None:
+            # The union can exceed the user's rung budget; repeatedly
+            # drop the interior rung spanning the flattest stretch of
+            # the measured integrand (its removal costs the least
+            # quadrature resolution and the most-overlapped swap pair).
+            while len(ladder) > max_n_temperatures:
+                e_lad = np.interp(ladder, b_asc, e_asc)
+                spans = e_lad[2:] - e_lad[:-2]  # span bridged by rung i
+                drop = 1 + int(np.argmin(spans))
+                del ladder[drop]
         return np.asarray(ladder[::-1], dtype=float)
 
     @track_calls
@@ -485,8 +485,15 @@ class ParallelTemperedSampler(MCMCSampler):
         max_n_temperatures: int = 32,
         ladder_probe_size: int = 4096,
         ladder_pilot_steps: int = 0,
+        _init_x: np.ndarray | None = None,
         **kwargs,
     ) -> PTMCMCSamples:
+        if n_steps < swap_every:
+            raise ValueError(
+                f"n_steps ({n_steps}) must be at least swap_every "
+                f"({swap_every}) — fewer steps than one swap round "
+                "would run no rounds at all."
+            )
         probe = None
         if isinstance(betas, str):
             if betas != "adaptive":
@@ -497,21 +504,21 @@ class ParallelTemperedSampler(MCMCSampler):
             # CESS and the importance-weighted rung means need a probe
             # large enough to resolve the prior-dominated hot end —
             # n_samples alone (often tens of chains) is far too small.
-            # The probe's head doubles as the first temperature's
-            # initial population, so most of its target evaluations
-            # are recycled.
-            probe = self.draw_initial_samples(
+            # The probe is recycled as chain-initial populations below
+            # (pilot rungs first, then the main run's cold rung), so
+            # its target evaluations are not wasted.
+            probe_full = self.draw_initial_samples(
                 max(n_samples, ladder_probe_size)
             )
             betas = self.adaptive_beta_ladder(
-                probe,
+                probe_full,
                 target_efficiency=ladder_target_efficiency,
                 max_n_temperatures=max_n_temperatures,
                 # n_temperatures doubles as the floor: TI quadrature
                 # needs rung density even when overlap does not.
                 min_n_temperatures=n_temperatures,
             )
-            probe = probe[:n_samples]
+            probe = probe_full[:n_samples]
             if ladder_pilot_steps > 0:
                 # Two-phase adaptation: a short pilot run on the probe
                 # ladder, then equal-dE re-placement from the rung
@@ -519,24 +526,53 @@ class ParallelTemperedSampler(MCMCSampler):
                 # prior-dominated hot end; the pilot's beta=0 chain
                 # can). `__wrapped__` skips @track_calls so the pilot
                 # never pollutes the recorded call history that
-                # checkpoint resume replays.
+                # checkpoint resume replays. The pilot seeds its rungs
+                # from the probe (topped up with fresh draws only when
+                # the probe runs out), and the main run below continues
+                # from the pilot's final states — warm starts, no
+                # re-paid likelihood evaluations.
+                need = n_samples * len(betas)
+                probe_x = np.asarray(probe_full.x)
+                if probe_x.shape[0] < need:
+                    extra = self.draw_initial_samples(
+                        need - probe_x.shape[0]
+                    )
+                    probe_x = np.concatenate(
+                        [probe_x, np.asarray(extra.x)], axis=0
+                    )
                 pilot = ParallelTemperedSampler.sample.__wrapped__(
                     self,
                     n_samples,
                     n_steps=ladder_pilot_steps,
                     betas=np.asarray(betas),
-                    swap_every=swap_every,
+                    swap_every=min(swap_every, ladder_pilot_steps),
                     a=a,
+                    _init_x=probe_x[:need],
                 )
+                pilot_betas = np.asarray(pilot.betas, dtype=float)
                 betas = self.refine_ladder_from_run(
                     pilot,
                     n_temperatures=max(n_temperatures, len(betas)),
+                    max_n_temperatures=max_n_temperatures,
                 )
                 logger.info(
                     "Pilot-refined PT ladder (%d rungs): %s",
                     len(betas),
                     np.array2string(np.asarray(betas), precision=4),
                 )
+                # Each refined rung starts from the final pilot states
+                # of its nearest pilot rung (betas are sorted before
+                # use, so order here only needs to match the sort).
+                final = np.asarray(pilot.chain)[:, -1]  # (T_p, N, d)
+                betas_sorted = np.sort(np.asarray(betas))[::-1]
+                nearest = np.argmin(
+                    np.abs(
+                        pilot_betas[None, :] - betas_sorted[:, None]
+                    ),
+                    axis=1,
+                )
+                _init_x = final[nearest].reshape(-1, self.dims)
+                probe = None
         elif betas is None:
             # Geometric ladder beta_t = (1/2)^t, hottest forced to 0 for
             # the stepping-stone estimator.
@@ -547,14 +583,22 @@ class ParallelTemperedSampler(MCMCSampler):
         n_temps = len(betas)
         betas_arr = jnp.asarray(betas)
 
-        if probe is not None and n_temps > 1:
+        if _init_x is not None:
+            init_x = jnp.asarray(_init_x).reshape(-1, self.dims)
+            if init_x.shape[0] != n_samples * n_temps:
+                raise ValueError(
+                    f"_init_x supplies {init_x.shape[0]} states; the "
+                    f"run needs n_temperatures * n_samples = "
+                    f"{n_temps * n_samples}."
+                )
+        elif probe is not None and n_temps > 1:
             rest = self.draw_initial_samples(n_samples * (n_temps - 1))
-            init = type(probe).concatenate([probe, rest])
+            init_x = type(probe).concatenate([probe, rest]).x
         elif probe is not None:
-            init = probe
+            init_x = probe.x
         else:
-            init = self.draw_initial_samples(n_samples * n_temps)
-        z0 = self.fit_preconditioning_transform(init.x)
+            init_x = self.draw_initial_samples(n_samples * n_temps).x
+        z0 = self.fit_preconditioning_transform(init_x)
         z0 = z0.reshape(n_temps, n_samples, self.dims)
 
         precond = self.preconditioning_transform

@@ -76,36 +76,17 @@ def _bisect_beta(delta, beta_prev, target_eff, tol):
     ESS). Parity: reference smc/base.py:160-186, but the entire bisection
     runs on device in one compiled loop — no host round-trip per probe.
 
-    The loop count is FIXED (54 halvings reach 2^-54 < any practical
-    tolerance; extra iterations are no-ops once the interval hits the
-    dtype resolution). A tolerance-conditioned ``while_loop`` would never
-    terminate in float32 (1e-8 is below the f32 resolution near 1.0), and
-    beta lives in the data dtype on TPU.
+    Bisection scaffold shared with the PT ladder
+    (:func:`aspire_tpu.samplers.kernels.monotone_beta_bisect`) — see
+    there for the fixed-54-trip rationale.
     """
     n = delta.shape[0]
 
-    def eff(beta):
+    def ok(beta):
         lw = (beta - beta_prev) * delta
-        return effective_sample_size(lw) / n
+        return effective_sample_size(lw) / n >= target_eff
 
-    eff_at_one = eff(1.0)
-    beta_min0 = jnp.where(eff_at_one >= target_eff, 1.0, beta_prev)
-    beta_max0 = jnp.asarray(1.0, dtype=delta.dtype)
-
-    def body(_, carry):
-        beta_min, beta_max = carry
-        done = beta_max - beta_min <= tol
-        beta_try = 0.5 * (beta_min + beta_max)
-        ok = eff(beta_try) >= target_eff
-        new_min = jnp.where(ok, beta_try, beta_min)
-        new_max = jnp.where(ok, beta_max, beta_try)
-        return (
-            jnp.where(done, beta_min, new_min),
-            jnp.where(done, beta_max, new_max),
-        )
-
-    beta_min, _ = jax.lax.fori_loop(0, 54, body, (beta_min0, beta_max0))
-    return beta_min
+    return K.monotone_beta_bisect(ok, beta_prev, tol, delta.dtype)
 
 
 def _check_beta_progress(

@@ -180,6 +180,31 @@ def test_ptmcmc_unknown_betas_string_raises(fitted_aspire):
         )
 
 
+def test_ptmcmc_swap_every_exceeding_n_steps_raises(fitted_aspire):
+    """n_steps < swap_every would silently run zero rounds."""
+    with pytest.raises(ValueError, match="swap_every"):
+        fitted_aspire.sample_posterior(
+            n_samples=8,
+            sampler="ptmcmc",
+            n_steps=4,
+            swap_every=10,
+        )
+
+
+def test_ptmcmc_pilot_shorter_than_swap_period(fitted_aspire):
+    """The pilot clamps swap_every so it always runs >=1 round."""
+    samples = fitted_aspire.sample_posterior(
+        n_samples=16,
+        sampler="ptmcmc",
+        n_steps=30,
+        n_temperatures=4,
+        swap_every=15,
+        betas="adaptive",
+        ladder_pilot_steps=10,
+    )
+    assert np.asarray(samples.betas)[0] == 1.0
+
+
 def test_host_likelihood_fallback(initial_samples):
     """Non-jittable targets run through the host path end-to-end."""
     asp = Aspire(

@@ -337,3 +337,32 @@ class TestPilotLadderRefinement:
             n_temperatures=10,
         )
         assert np.all(np.diff(out) < 0)
+
+    def test_cap_is_enforced_on_the_union(self):
+        # Dense pilot grid + curved integrand: the equal-dE union would
+        # exceed the cap; flattest-span rungs must be dropped instead.
+        betas = np.linspace(1.0, 0.0, 12)
+        means = -30.0 * (1.0 - betas) ** 4
+        out = self._sampler().refine_ladder_from_run(
+            self._pt_samples(betas, means),
+            n_temperatures=12,
+            max_n_temperatures=8,
+        )
+        assert len(out) <= 8
+        assert out[0] == 1.0 and out[-1] == 0.0
+        assert np.all(np.diff(out) < 0)
+
+    def test_shared_bisection_scaffold(self):
+        """SMC and PT ladders use one bisection implementation."""
+        import inspect
+
+        from aspire_tpu.samplers.kernels import monotone_beta_bisect
+        from aspire_tpu.samplers import mcmc, smc
+
+        assert "monotone_beta_bisect" in inspect.getsource(
+            smc._bisect_beta.__wrapped__
+        )
+        assert "monotone_beta_bisect" in inspect.getsource(
+            mcmc._bisect_pt_beta.__wrapped__
+        )
+        assert callable(monotone_beta_bisect)
