@@ -485,6 +485,7 @@ class ParallelTemperedSampler(MCMCSampler):
         max_n_temperatures: int = 32,
         ladder_probe_size: int = 4096,
         ladder_pilot_steps: int = 0,
+        ladder_pilot_iterations: int = 1,
         _init_x: np.ndarray | None = None,
         **kwargs,
     ) -> PTMCMCSamples:
@@ -531,6 +532,17 @@ class ParallelTemperedSampler(MCMCSampler):
                 # the probe runs out), and the main run below continues
                 # from the pilot's final states — warm starts, no
                 # re-paid likelihood evaluations.
+                #
+                # ladder_pilot_iterations > 1 repeats the
+                # (pilot -> re-place) cycle on the refined ladder: for
+                # pathologically peaked integrands one pilot measures
+                # E_beta[logL] on rungs that are themselves badly
+                # placed, so its equal-dE solution is still biased —
+                # re-measuring on the refined rungs converges the fixed
+                # point. Each cycle warm-starts from the previous
+                # pilot's final states, and the loop exits early once
+                # the ladder stops moving (same rung count, every rung
+                # within min_beta_step of the previous cycle's).
                 need = n_samples * len(betas)
                 probe_x = np.asarray(probe_full.x)
                 if probe_x.shape[0] < need:
@@ -540,38 +552,54 @@ class ParallelTemperedSampler(MCMCSampler):
                     probe_x = np.concatenate(
                         [probe_x, np.asarray(extra.x)], axis=0
                     )
-                pilot = ParallelTemperedSampler.sample.__wrapped__(
-                    self,
-                    n_samples,
-                    n_steps=ladder_pilot_steps,
-                    betas=np.asarray(betas),
-                    swap_every=min(swap_every, ladder_pilot_steps),
-                    a=a,
-                    _init_x=probe_x[:need],
-                )
-                pilot_betas = np.asarray(pilot.betas, dtype=float)
-                betas = self.refine_ladder_from_run(
-                    pilot,
-                    n_temperatures=max(n_temperatures, len(betas)),
-                    max_n_temperatures=max_n_temperatures,
-                )
-                logger.info(
-                    "Pilot-refined PT ladder (%d rungs): %s",
-                    len(betas),
-                    np.array2string(np.asarray(betas), precision=4),
-                )
-                # Each refined rung starts from the final pilot states
-                # of its nearest pilot rung (betas are sorted before
-                # use, so order here only needs to match the sort).
-                final = np.asarray(pilot.chain)[:, -1]  # (T_p, N, d)
-                betas_sorted = np.sort(np.asarray(betas))[::-1]
-                nearest = np.argmin(
-                    np.abs(
-                        pilot_betas[None, :] - betas_sorted[:, None]
-                    ),
-                    axis=1,
-                )
-                _init_x = final[nearest].reshape(-1, self.dims)
+                pilot_init = probe_x[:need]
+                for pilot_round in range(max(ladder_pilot_iterations, 1)):
+                    pilot = ParallelTemperedSampler.sample.__wrapped__(
+                        self,
+                        n_samples,
+                        n_steps=ladder_pilot_steps,
+                        betas=np.asarray(betas),
+                        swap_every=min(swap_every, ladder_pilot_steps),
+                        a=a,
+                        _init_x=pilot_init,
+                    )
+                    pilot_betas = np.asarray(pilot.betas, dtype=float)
+                    refined = self.refine_ladder_from_run(
+                        pilot,
+                        n_temperatures=max(n_temperatures, len(betas)),
+                        max_n_temperatures=max_n_temperatures,
+                    )
+                    logger.info(
+                        "Pilot-refined PT ladder (cycle %d, %d rungs):"
+                        " %s",
+                        pilot_round + 1,
+                        len(refined),
+                        np.array2string(np.asarray(refined), precision=4),
+                    )
+                    # Each refined rung starts from the final pilot
+                    # states of its nearest pilot rung (betas are
+                    # sorted before use, so order here only needs to
+                    # match the sort).
+                    final = np.asarray(pilot.chain)[:, -1]  # (T_p, N, d)
+                    betas_sorted = np.sort(np.asarray(refined))[::-1]
+                    nearest = np.argmin(
+                        np.abs(
+                            pilot_betas[None, :] - betas_sorted[:, None]
+                        ),
+                        axis=1,
+                    )
+                    pilot_init = final[nearest].reshape(-1, self.dims)
+                    converged = len(refined) == len(
+                        betas
+                    ) and np.allclose(
+                        np.sort(refined),
+                        np.sort(np.asarray(betas, dtype=float)),
+                        atol=1e-4,
+                    )
+                    betas = refined
+                    if converged:
+                        break
+                _init_x = pilot_init
                 probe = None
         elif betas is None:
             # Geometric ladder beta_t = (1/2)^t, hottest forced to 0 for

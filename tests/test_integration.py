@@ -205,6 +205,50 @@ def test_ptmcmc_pilot_shorter_than_swap_period(fitted_aspire):
     assert np.asarray(samples.betas)[0] == 1.0
 
 
+def test_ptmcmc_iterated_pilot_refinement(fitted_aspire):
+    """ladder_pilot_iterations > 1 re-measures on the refined ladder."""
+    samples = fitted_aspire.sample_posterior(
+        n_samples=16,
+        sampler="ptmcmc",
+        n_steps=20,
+        n_temperatures=4,
+        swap_every=5,
+        betas="adaptive",
+        ladder_pilot_steps=6,
+        ladder_pilot_iterations=2,
+    )
+    betas = np.asarray(samples.betas)
+    assert betas[0] == 1.0 and betas[-1] == 0.0
+    assert np.all(np.diff(betas) < 0)
+
+
+def test_ptmcmc_pilot_iteration_early_stop(fitted_aspire, monkeypatch):
+    """The pilot cycle exits as soon as the ladder stops moving."""
+    from aspire_tpu.samplers.mcmc import ParallelTemperedSampler
+
+    calls = {"n": 0}
+
+    def unchanged_ladder(self, samples, **kwargs):
+        calls["n"] += 1
+        return np.asarray(samples.betas, dtype=float)
+
+    monkeypatch.setattr(
+        ParallelTemperedSampler,
+        "refine_ladder_from_run",
+        unchanged_ladder,
+    )
+    fitted_aspire.sample_posterior(
+        n_samples=16,
+        sampler="ptmcmc",
+        n_steps=10,
+        n_temperatures=3,
+        betas="adaptive",
+        ladder_pilot_steps=4,
+        ladder_pilot_iterations=5,
+    )
+    assert calls["n"] == 1
+
+
 def test_host_likelihood_fallback(initial_samples):
     """Non-jittable targets run through the host path end-to-end."""
     asp = Aspire(
