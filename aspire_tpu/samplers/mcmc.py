@@ -463,7 +463,9 @@ class ParallelTemperedSampler(MCMCSampler):
             # drop the interior rung spanning the flattest stretch of
             # the measured integrand (its removal costs the least
             # quadrature resolution and the most-overlapped swap pair).
-            while len(ladder) > max_n_temperatures:
+            # The 0/1 endpoints are never dropped, so the effective
+            # floor of the budget is 2.
+            while len(ladder) > max(max_n_temperatures, 2):
                 e_lad = np.interp(ladder, b_asc, e_asc)
                 spans = e_lad[2:] - e_lad[:-2]  # span bridged by rung i
                 drop = 1 + int(np.argmin(spans))

@@ -264,6 +264,41 @@ def correctness_anchor() -> dict:
     }
 
 
+def _cpu_env() -> dict:
+    """Environment for a guaranteed-CPU child process.
+
+    The axon sitecustomize hook (gated on PALLAS_AXON_POOL_IPS) can
+    block EVERY jax backend init when the tunnel relay is wedged —
+    including ``jax_platforms=cpu`` set in-process. Dropping the gate
+    variable and pinning JAX_PLATFORMS is the only reliable CPU path.
+    """
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    return env
+
+
+def _backend_alive(timeout_s: float = 120.0) -> bool:
+    """Probe device-backend init in a bounded subprocess.
+
+    ``jax.devices()`` hangs forever (not errors) when the tunnel is
+    wedged, so the probe must be a killable child, never an in-process
+    call.
+    """
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            capture_output=True,
+            timeout=timeout_s,
+        )
+        return out.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+    except Exception as err:  # noqa: BLE001
+        _log(f"backend probe failed oddly: {err}")
+        return False
+
+
 def main():
     if "--cpu-baseline" in sys.argv:
         import jax
@@ -273,7 +308,42 @@ def main():
         print(json.dumps({"cpu_rate": rate}))
         return
 
+    if "--degraded-cpu" not in sys.argv:
+        # Fail fast instead of hanging the whole round when the device
+        # backend cannot initialize: retry for a bounded window, then
+        # hand off to a CPU child that reports an explicitly flagged
+        # degraded number (missing data beats silence, a flag beats
+        # a silently wrong number).
+        wait_s = float(os.environ.get("ASPIRE_BENCH_TUNNEL_WAIT_S", 900))
+        deadline = time.monotonic() + wait_s
+        alive = _backend_alive()
+        while not alive and time.monotonic() < deadline:
+            _log(
+                "device backend unreachable; retrying probe "
+                f"(up to {max(deadline - time.monotonic(), 0):.0f}s left)"
+            )
+            time.sleep(60)
+            alive = _backend_alive()
+        if not alive:
+            _log(
+                "device backend still unreachable after "
+                f"{wait_s:.0f}s — falling back to a degraded CPU run."
+            )
+            out = subprocess.run(
+                [
+                    sys.executable,
+                    os.path.abspath(__file__),
+                    "--degraded-cpu",
+                ],
+                env=_cpu_env(),
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            sys.exit(out.returncode)
+
     import jax
+
+    if "--degraded-cpu" in sys.argv:
+        jax.config.update("jax_platforms", "cpu")
 
     platform = jax.devices()[0].platform
     _log(f"bench device: {jax.devices()[0]} (platform={platform})")
@@ -310,6 +380,7 @@ def main():
             capture_output=True,
             text=True,
             timeout=900,
+            env=_cpu_env(),
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
         for line in out.stdout.splitlines():
@@ -323,33 +394,36 @@ def main():
     vs_baseline = rate / cpu_rate if cpu_rate else 1.0
     _log(f"cpu baseline rate: {cpu_rate}")
 
-    try:
-        anchor = correctness_anchor()
-        _log(f"correctness anchor: {anchor}")
-    except Exception as err:  # noqa: BLE001
-        _log(f"correctness anchor failed: {err}")
+    if "--degraded-cpu" in sys.argv:
+        # The 131072-particle pipeline timing inside the anchor takes
+        # many minutes on one CPU core and measures nothing about the
+        # device path — the CPU suite already anchors correctness.
+        _log("degraded mode: skipping the correctness anchor/pipeline")
+    else:
+        try:
+            anchor = correctness_anchor()
+            _log(f"correctness anchor: {anchor}")
+        except Exception as err:  # noqa: BLE001
+            _log(f"correctness anchor failed: {err}")
 
-    print(
-        json.dumps(
-            {
-                "metric": "smc_particle_steps_per_s",
-                "value": rate,
-                "unit": "particle-steps/s",
-                "vs_baseline": vs_baseline,
-                "model_pct_of_roofline": roofline[
-                    "model_pct_of_roofline"
-                ],
-                "roofline_binding_ceiling": roofline["binding_ceiling"],
-                "flops_per_particle_step": model[
-                    "flops_per_particle_step"
-                ],
-                "bytes_per_particle_step": model[
-                    "bytes_per_particle_step"
-                ],
-                "pipeline_131072_s": _PIPELINE_S,
-            }
-        )
-    )
+    record = {
+        "metric": "smc_particle_steps_per_s",
+        "value": rate,
+        "unit": "particle-steps/s",
+        "vs_baseline": vs_baseline,
+        "model_pct_of_roofline": roofline["model_pct_of_roofline"],
+        "roofline_binding_ceiling": roofline["binding_ceiling"],
+        "flops_per_particle_step": model["flops_per_particle_step"],
+        "bytes_per_particle_step": model["bytes_per_particle_step"],
+        "pipeline_131072_s": _PIPELINE_S,
+    }
+    if "--degraded-cpu" in sys.argv:
+        # The device backend was unreachable for the whole wait window:
+        # this number is the identical workload on host CPU and says
+        # nothing about TPU throughput. Keep the flag machine-readable
+        # so downstream tooling never mistakes it for a regression.
+        record["degraded"] = "device-backend-unreachable; CPU fallback"
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
