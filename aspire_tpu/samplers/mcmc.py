@@ -311,6 +311,22 @@ class ParallelTemperedSampler(MCMCSampler):
         log_base = jnp.asarray(samples.log_prior) - jnp.asarray(
             samples.log_q
         )
+        # Hard-constraint targets hand public callers probes with
+        # -inf entries; 0 * -inf = NaN would otherwise poison every
+        # CESS comparison (each bisection then returns beta_prev) and
+        # every rung mean. Zero-posterior-mass states carry no ladder
+        # information — drop them. (The internal sample() path already
+        # filters via draw_initial_samples.)
+        finite = np.asarray(jnp.isfinite(log_l) & jnp.isfinite(log_base))
+        if not finite.any():
+            raise ValueError(
+                "adaptive_beta_ladder needs at least one probe sample "
+                "with finite log_likelihood and finite "
+                "log_prior - log_q; got none."
+            )
+        if not finite.all():
+            log_l = log_l[finite]
+            log_base = log_base[finite]
         betas = [0.0]
         while betas[-1] < 1.0 and len(betas) < max_n_temperatures:
             b = float(
@@ -327,13 +343,19 @@ class ParallelTemperedSampler(MCMCSampler):
         if betas[-1] < 1.0:
             logger.warning(
                 "Adaptive PT ladder hit max_n_temperatures=%d before "
-                "reaching beta=1 (target_efficiency=%.3f); appending "
+                "reaching beta=1 (target_efficiency=%.3f); forcing "
                 "the cold rung — consider raising the cap or lowering "
                 "the target.",
                 max_n_temperatures,
                 target_efficiency,
             )
-            betas.append(1.0)
+            if len(betas) >= max_n_temperatures:
+                # Honor the cap strictly: the last placed rung is the
+                # closest to 1 anyway, so promote it rather than
+                # exceeding the user's rung budget.
+                betas[-1] = 1.0
+            else:
+                betas.append(1.0)
         # Quadrature refinement. Self-normalized IS estimate of the TI
         # integrand E_beta[logL] from the probe. Near beta=0 the
         # weights are prior-dominated and noisy, but this only steers
@@ -429,7 +451,21 @@ class ParallelTemperedSampler(MCMCSampler):
         b_asc, e_asc = b_asc[valid], e_asc[valid]
         if len(b_asc) < 2 or e_asc[-1] - e_asc[0] < 1e-9:
             # Flat or unmeasurable integrand: the pilot ladder is
-            # already as good as any.
+            # already as good as any — but the rung budget still binds;
+            # with no integrand to rank rungs by, thin evenly by index
+            # (endpoints land on indices 0 and len-1, so they survive).
+            cap = (
+                max(max_n_temperatures, 2)
+                if max_n_temperatures is not None
+                else None
+            )
+            if cap is not None and len(betas_desc) > cap:
+                idx = np.unique(
+                    np.round(
+                        np.linspace(0, len(betas_desc) - 1, cap)
+                    ).astype(int)
+                )
+                return betas_desc[idx]
             return betas_desc
         # Monotone envelope: E_beta[logL] is nondecreasing in beta in
         # expectation; pilot noise must not fold the interpolant back.
@@ -498,6 +534,7 @@ class ParallelTemperedSampler(MCMCSampler):
                 "would run no rounds at all."
             )
         probe = None
+        probe_full = None
         if isinstance(betas, str):
             if betas != "adaptive":
                 raise ValueError(
@@ -522,93 +559,98 @@ class ParallelTemperedSampler(MCMCSampler):
                 min_n_temperatures=n_temperatures,
             )
             probe = probe_full[:n_samples]
-            if ladder_pilot_steps > 0:
-                # Two-phase adaptation: a short pilot run on the probe
-                # ladder, then equal-dE re-placement from the rung
-                # means it actually measured (the probe cannot see the
-                # prior-dominated hot end; the pilot's beta=0 chain
-                # can). `__wrapped__` skips @track_calls so the pilot
-                # never pollutes the recorded call history that
-                # checkpoint resume replays. The pilot seeds its rungs
-                # from the probe (topped up with fresh draws only when
-                # the probe runs out), and the main run below continues
-                # from the pilot's final states — warm starts, no
-                # re-paid likelihood evaluations.
-                #
-                # ladder_pilot_iterations > 1 repeats the
-                # (pilot -> re-place) cycle on the refined ladder: for
-                # pathologically peaked integrands one pilot measures
-                # E_beta[logL] on rungs that are themselves badly
-                # placed, so its equal-dE solution is still biased —
-                # re-measuring on the refined rungs converges the fixed
-                # point. Each cycle warm-starts from the previous
-                # pilot's final states, and the loop exits early once
-                # the ladder stops moving (same rung count, every rung
-                # within min_beta_step of the previous cycle's).
-                need = n_samples * len(betas)
-                probe_x = np.asarray(probe_full.x)
-                if probe_x.shape[0] < need:
-                    extra = self.draw_initial_samples(
-                        need - probe_x.shape[0]
-                    )
-                    probe_x = np.concatenate(
-                        [probe_x, np.asarray(extra.x)], axis=0
-                    )
-                pilot_init = probe_x[:need]
-                for pilot_round in range(max(ladder_pilot_iterations, 1)):
-                    pilot = ParallelTemperedSampler.sample.__wrapped__(
-                        self,
-                        n_samples,
-                        n_steps=ladder_pilot_steps,
-                        betas=np.asarray(betas),
-                        swap_every=min(swap_every, ladder_pilot_steps),
-                        a=a,
-                        _init_x=pilot_init,
-                    )
-                    pilot_betas = np.asarray(pilot.betas, dtype=float)
-                    refined = self.refine_ladder_from_run(
-                        pilot,
-                        n_temperatures=max(n_temperatures, len(betas)),
-                        max_n_temperatures=max_n_temperatures,
-                    )
-                    logger.info(
-                        "Pilot-refined PT ladder (cycle %d, %d rungs):"
-                        " %s",
-                        pilot_round + 1,
-                        len(refined),
-                        np.array2string(np.asarray(refined), precision=4),
-                    )
-                    # Each refined rung starts from the final pilot
-                    # states of its nearest pilot rung (betas are
-                    # sorted before use, so order here only needs to
-                    # match the sort).
-                    final = np.asarray(pilot.chain)[:, -1]  # (T_p, N, d)
-                    betas_sorted = np.sort(np.asarray(refined))[::-1]
-                    nearest = np.argmin(
-                        np.abs(
-                            pilot_betas[None, :] - betas_sorted[:, None]
-                        ),
-                        axis=1,
-                    )
-                    pilot_init = final[nearest].reshape(-1, self.dims)
-                    converged = len(refined) == len(
-                        betas
-                    ) and np.allclose(
-                        np.sort(refined),
-                        np.sort(np.asarray(betas, dtype=float)),
-                        atol=1e-4,
-                    )
-                    betas = refined
-                    if converged:
-                        break
-                _init_x = pilot_init
-                probe = None
         elif betas is None:
             # Geometric ladder beta_t = (1/2)^t, hottest forced to 0 for
             # the stepping-stone estimator.
             betas = np.concatenate(
                 [0.5 ** np.arange(n_temperatures - 1), [0.0]]
             )
+        if ladder_pilot_steps > 0:
+            # Two-phase adaptation on ANY starting ladder (adaptive,
+            # explicit array, or geometric): a short pilot run, then
+            # equal-dE re-placement from the rung means it actually
+            # measured (a flow probe cannot see the prior-dominated
+            # hot end; the pilot's beta=0 chain can). `__wrapped__`
+            # skips @track_calls so the pilot never pollutes the
+            # recorded call history that checkpoint resume replays.
+            # The pilot seeds its rungs from the adaptive probe when
+            # one exists (topped up with fresh draws only when it runs
+            # out), and the main run below continues from the pilot's
+            # final states — warm starts, no re-paid likelihood
+            # evaluations.
+            #
+            # ladder_pilot_iterations > 1 repeats the
+            # (pilot -> re-place) cycle on the refined ladder: for
+            # pathologically peaked integrands one pilot measures
+            # E_beta[logL] on rungs that are themselves badly
+            # placed, so its equal-dE solution is still biased —
+            # re-measuring on the refined rungs converges the fixed
+            # point. Each cycle warm-starts from the previous
+            # pilot's final states, and the loop exits early once
+            # the ladder stops moving (same rung count, every rung
+            # within min_beta_step of the previous cycle's).
+            betas = np.sort(np.asarray(betas, dtype=float))[::-1]
+            need = n_samples * len(betas)
+            if probe_full is not None:
+                probe_x = np.asarray(probe_full.x)
+            else:
+                probe_x = np.empty((0, self.dims))
+            if probe_x.shape[0] < need:
+                extra = self.draw_initial_samples(
+                    need - probe_x.shape[0]
+                )
+                probe_x = np.concatenate(
+                    [probe_x, np.asarray(extra.x)], axis=0
+                )
+            pilot_init = probe_x[:need]
+            for pilot_round in range(max(ladder_pilot_iterations, 1)):
+                pilot = ParallelTemperedSampler.sample.__wrapped__(
+                    self,
+                    n_samples,
+                    n_steps=ladder_pilot_steps,
+                    betas=np.asarray(betas),
+                    swap_every=min(swap_every, ladder_pilot_steps),
+                    a=a,
+                    _init_x=pilot_init,
+                )
+                pilot_betas = np.asarray(pilot.betas, dtype=float)
+                refined = self.refine_ladder_from_run(
+                    pilot,
+                    n_temperatures=max(n_temperatures, len(betas)),
+                    max_n_temperatures=max_n_temperatures,
+                )
+                logger.info(
+                    "Pilot-refined PT ladder (cycle %d, %d rungs):"
+                    " %s",
+                    pilot_round + 1,
+                    len(refined),
+                    np.array2string(np.asarray(refined), precision=4),
+                )
+                # Each refined rung starts from the final pilot
+                # states of its nearest pilot rung (betas are
+                # sorted before use, so order here only needs to
+                # match the sort).
+                final = np.asarray(pilot.chain)[:, -1]  # (T_p, N, d)
+                betas_sorted = np.sort(np.asarray(refined))[::-1]
+                nearest = np.argmin(
+                    np.abs(
+                        pilot_betas[None, :] - betas_sorted[:, None]
+                    ),
+                    axis=1,
+                )
+                pilot_init = final[nearest].reshape(-1, self.dims)
+                converged = len(refined) == len(
+                    betas
+                ) and np.allclose(
+                    np.sort(refined),
+                    np.sort(np.asarray(betas, dtype=float)),
+                    atol=1e-4,
+                )
+                betas = refined
+                if converged:
+                    break
+            _init_x = pilot_init
+            probe = None
         betas = np.sort(np.asarray(betas, dtype=float))[::-1].copy()
         n_temps = len(betas)
         betas_arr = jnp.asarray(betas)

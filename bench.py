@@ -283,7 +283,10 @@ def _backend_alive(timeout_s: float = 120.0) -> bool:
 
     ``jax.devices()`` hangs forever (not errors) when the tunnel is
     wedged, so the probe must be a killable child, never an in-process
-    call.
+    call — a hung C-level backend init cannot be interrupted by any
+    in-process watchdog. Healthy runs pay one duplicate backend init
+    (tens of seconds) for this; accepted, since the alternative is an
+    unbounded hang of the whole benchmark when the tunnel is down.
     """
     try:
         out = subprocess.run(

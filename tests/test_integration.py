@@ -205,6 +205,25 @@ def test_ptmcmc_pilot_shorter_than_swap_period(fitted_aspire):
     assert np.asarray(samples.betas)[0] == 1.0
 
 
+def test_ptmcmc_pilot_refines_explicit_ladder(fitted_aspire):
+    """ladder_pilot_steps works on a user-supplied betas array, not
+    just betas='adaptive' (it used to be silently ignored)."""
+    coarse = np.array([1.0, 0.5, 0.0])
+    samples = fitted_aspire.sample_posterior(
+        n_samples=16,
+        sampler="ptmcmc",
+        n_steps=20,
+        swap_every=5,
+        betas=coarse,
+        n_temperatures=6,
+        ladder_pilot_steps=6,
+    )
+    betas = np.asarray(samples.betas)
+    assert betas[0] == 1.0 and betas[-1] == 0.0
+    # The equal-dE refinement on this curved integrand adds rungs.
+    assert len(betas) > len(coarse)
+
+
 def test_ptmcmc_iterated_pilot_refinement(fitted_aspire):
     """ladder_pilot_iterations > 1 re-measures on the refined ladder."""
     samples = fitted_aspire.sample_posterior(

@@ -248,7 +248,7 @@ class TestAdaptivePTLadder:
         assert len(betas) == 6
         assert betas[0] == 1.0 and betas[-1] == 0.0
 
-    def test_cap_appends_cold_rung(self, rng):
+    def test_cap_is_strict_and_cold_rung_forced(self, rng):
         betas = self._ladder(
             rng,
             spread=200.0,
@@ -257,7 +257,45 @@ class TestAdaptivePTLadder:
             target_efficiency=0.999,
         )
         assert betas[0] == 1.0
-        assert len(betas) <= 6  # cap + forced cold rung
+        assert len(betas) <= 5  # cap honored even when beta=1 is forced
+
+    def test_infinite_probe_entries_are_dropped(self, rng):
+        # Hard-constraint targets hand public callers probes with -inf
+        # logL; 0 * -inf = NaN must not poison the CESS bisection
+        # (symptom: a garbage ladder creeping by min_beta_step).
+        from aspire_tpu.samplers.mcmc import ParallelTemperedSampler
+
+        s = ParallelTemperedSampler.__new__(ParallelTemperedSampler)
+        n = 512
+
+        class Probe:
+            log_likelihood = np.where(
+                rng.uniform(size=n) < 0.2,
+                -np.inf,
+                rng.normal(0.0, 5.0, size=n),
+            )
+            log_prior = np.full(n, -1.0)
+            log_q = rng.normal(-1.0, 0.2, size=n)
+
+        betas = s.adaptive_beta_ladder(Probe(), min_n_temperatures=4)
+        assert betas[0] == 1.0 and betas[-1] == 0.0
+        assert np.all(np.isfinite(betas))
+        # A poisoned bisection creeps by min_beta_step=1e-4 per rung;
+        # a healthy one takes real steps.
+        assert np.max(np.diff(betas[::-1])) > 0.01
+
+    def test_all_infinite_probe_raises(self):
+        from aspire_tpu.samplers.mcmc import ParallelTemperedSampler
+
+        s = ParallelTemperedSampler.__new__(ParallelTemperedSampler)
+
+        class Probe:
+            log_likelihood = np.full(16, -np.inf)
+            log_prior = np.full(16, -1.0)
+            log_q = np.full(16, -1.0)
+
+        with pytest.raises(ValueError, match="finite"):
+            s.adaptive_beta_ladder(Probe())
 
 
 class TestPilotLadderRefinement:
@@ -308,6 +346,19 @@ class TestPilotLadderRefinement:
             n_temperatures=8,
         )
         np.testing.assert_array_equal(out, betas)
+
+    def test_flat_integrand_still_honors_the_cap(self):
+        # The flat-integrand early return must thin to the rung budget
+        # (evenly, endpoints pinned) rather than bypass it.
+        betas = np.linspace(1.0, 0.0, 12)
+        out = self._sampler().refine_ladder_from_run(
+            self._pt_samples(betas, [-2.0] * 12),
+            n_temperatures=12,
+            max_n_temperatures=5,
+        )
+        assert len(out) <= 5
+        assert out[0] == 1.0 and out[-1] == 0.0
+        assert np.all(np.diff(out) < 0)
 
     def test_redundant_levels_are_dropped(self):
         # Linear integrand on an equal-dE pilot grid: every new level
