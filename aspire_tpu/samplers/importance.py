@@ -20,7 +20,9 @@ class ImportanceSampler(Sampler):
     """Importance sampling with the flow as proposal."""
 
     @track_calls
-    def sample(self, n_samples: int, **kwargs) -> Samples:
+    def sample(self, n_samples: int) -> Samples:
+        # Closed signature: sample_posterior warns about (instead of
+        # silently swallowing) kwargs this sampler does not support.
         x, log_q = self.prior_flow.sample_and_log_prob(
             n_samples, key=self.next_key()
         )

@@ -160,8 +160,10 @@ class PCNSampler(MCMCSampler):
         initial_step_size: float = 0.5,
         burn_in: int = 0,
         thin: int = 1,
-        **kwargs,
     ) -> MCMCSamples:
+        # No **kwargs: an open signature would silently swallow
+        # misrouted options (sample_posterior only warns about unknown
+        # kwargs when the sampler's signature is closed).
         n_steps = n_steps or 5 * self.dims
         init = self.draw_initial_samples(n_samples)
         z = self.fit_preconditioning_transform(init.x)
@@ -227,8 +229,8 @@ class EnsembleSampler(MCMCSampler):
         a: float = 2.0,
         burn_in: int = 0,
         thin: int = 1,
-        **kwargs,
     ) -> MCMCSamples:
+        # No **kwargs — see PCNSampler.sample.
         init = self.draw_initial_samples(n_samples)
         z = self.fit_preconditioning_transform(init.x)
         log_prob_fn = self.make_log_prob()
@@ -525,8 +527,8 @@ class ParallelTemperedSampler(MCMCSampler):
         ladder_pilot_steps: int = 0,
         ladder_pilot_iterations: int = 1,
         _init_x: np.ndarray | None = None,
-        **kwargs,
     ) -> PTMCMCSamples:
+        # No **kwargs — see PCNSampler.sample.
         if n_steps < swap_every:
             raise ValueError(
                 f"n_steps ({n_steps}) must be at least swap_every "

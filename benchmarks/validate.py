@@ -43,6 +43,24 @@ SAMPLERS = [
     ("smc", {"sampler_kwargs": {"n_steps": 20, "windowed_tau": True}}),
     ("hmc_smc", {"sampler_kwargs": {"n_steps": 5, "n_leapfrog": 10}}),
     ("nuts_smc", {"sampler_kwargs": {"n_steps": 5, "n_leapfrog": 10}}),
+    # PT-MCMC evidence path: adaptive CESS ladder + iterated pilot
+    # equal-dE refinement. The GATE is the stepping-stone logZ — for
+    # diffuse priors the TI integrand E_beta[logL] spans hundreds of
+    # nats near beta=0 (a known TI pathology; on the Rosenbrock box
+    # its honest "total" bar is +-tens of nats), while stepping-stone
+    # telescopes ratios and stays sharp. TI (method="total") is
+    # recorded alongside. Walker count is args.n/32 (chains x
+    # temperatures x steps is the actual sample budget). NOTE: PT
+    # options are top-level sample() kwargs — `sampler_kwargs` is the
+    # SMC mutation-kernel channel only.
+    ("ptmcmc", {
+        "n_steps": 400,
+        "n_temperatures": 12,
+        "betas": "adaptive",
+        "swap_every": 5,
+        "ladder_pilot_steps": 40,
+        "ladder_pilot_iterations": 2,
+    }),
 ]
 
 
@@ -100,6 +118,11 @@ def main() -> None:
     parser.add_argument("--n", type=int, default=16384)
     parser.add_argument("--k-sigma", type=float, default=5.0)
     parser.add_argument("--min-tol", type=float, default=0.05)
+    parser.add_argument(
+        "--only",
+        default=None,
+        help="substring filter on the sampler label (targeted re-runs)",
+    )
     args = parser.parse_args()
 
     import numpy as np
@@ -147,16 +170,29 @@ def main() -> None:
         true = analytic_log_z(problem)
         for sampler, kwargs in SAMPLERS:
             label = _label(sampler, kwargs)
+            if args.only and args.only not in label:
+                continue
             extra = {}
+            n_req = args.n if sampler != "ptmcmc" else max(args.n // 32, 256)
             try:
                 post = asp.sample_posterior(
                     sampler=sampler,
-                    n_samples=args.n,
+                    n_samples=n_req,
                     store_sample_history=False,
                     **kwargs,
                 )
-                lz = float(post.log_evidence)
-                err = float(post.log_evidence_error)
+                if sampler == "ptmcmc":
+                    lz, err = post.log_evidence_stepping_stone()
+                    ti_lz, ti_err = (
+                        post.log_evidence_thermodynamic_integration(
+                            method="total"
+                        )
+                    )
+                    extra["ti_total"] = [round(ti_lz, 4), round(ti_err, 4)]
+                    extra["n_temperatures"] = len(post.betas)
+                else:
+                    lz = float(post.log_evidence)
+                    err = float(post.log_evidence_error)
                 tol = max(args.k_sigma * err, args.min_tol)
                 ok = abs(lz - true) < tol
                 history = getattr(asp.sampler, "history", None)

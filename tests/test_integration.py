@@ -115,6 +115,26 @@ def test_ensemble_mcmc(fitted_aspire):
     )
 
 
+def test_unknown_sample_kwarg_warns_and_is_dropped(fitted_aspire, caplog):
+    """Closed sample() signatures surface misrouted options.
+
+    Samplers without **kwargs let sample_posterior detect options they
+    do not support; the option is dropped with a warning instead of a
+    TypeError or a silent swallow (reference behavior: silently passed
+    into **kwargs and ignored).
+    """
+    with caplog.at_level("WARNING", logger="aspire_tpu"):
+        samples = fitted_aspire.sample_posterior(
+            n_samples=128, sampler="importance", not_an_option=3
+        )
+    assert len(samples) == 128
+    assert any(
+        "not_an_option" in rec.getMessage()
+        for rec in caplog.records
+        if "Ignoring kwargs" in rec.getMessage()
+    )
+
+
 def test_ptmcmc_evidence(fitted_aspire):
     samples = fitted_aspire.sample_posterior(
         n_samples=32,
