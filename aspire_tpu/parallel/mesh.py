@@ -81,6 +81,18 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def walker_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """Sharding for ``(T, n, ...)`` tempered ensembles: walkers over the
+    mesh, temperature axis replicated.
+
+    Used by the parallel-tempering sampler: every rung's walkers split
+    across devices, so the tempered stretch sweeps (the likelihood-eval
+    bulk) run SPMD while replica swaps — elementwise in the walker
+    axis — stay device-local.
+    """
+    return NamedSharding(mesh, P(None, axis_name))
+
+
 def shard_particles(tree, mesh: Mesh, axis_name: str = "data"):
     """Place every array in ``tree`` with its leading axis sharded.
 

@@ -826,6 +826,7 @@ def run_chain(
     store_chain: bool = False,
     track_autocorr: bool = False,
     windowed_tau: bool = False,
+    tau_walkers: int | None = None,
 ):
     """Run ``n_steps`` of ``step_fn`` under ``lax.scan``.
 
@@ -834,15 +835,30 @@ def run_chain(
     ``track_autocorr=True`` a third value is returned: a
     :class:`ChainStats` computed online from O(n d) running sums so
     the chain itself never needs to be materialized. With
-    ``windowed_tau=True`` (requires ``store_chain``) the reported tau
-    is the windowed Sokal estimate from the stored chain
-    (:func:`sokal_tau_from_chain`) instead of the AR(1) surrogate.
+    ``windowed_tau=True`` the reported tau is the windowed Sokal
+    estimate (:func:`sokal_tau_from_chain`) instead of the AR(1)
+    surrogate; it needs chain history, taken from the stored chain
+    when ``store_chain=True``, otherwise from an in-scan strided
+    subset of ``tau_walkers`` walkers — the walker-averaged tau
+    concentrates fast in the number of walkers, so ~1k walkers
+    estimate it as well as 1M while the stored history stays
+    ``(n_steps, tau_walkers, d)`` instead of the full population.
     """
-    if windowed_tau and not (store_chain and track_autocorr):
+    if windowed_tau and not (
+        track_autocorr and (store_chain or tau_walkers)
+    ):
         raise ValueError(
-            "windowed_tau requires store_chain=True and "
-            "track_autocorr=True"
+            "windowed_tau requires track_autocorr=True and either "
+            "store_chain=True or tau_walkers=<n>"
         )
+    # Strided subset spreads across the (resampled, hence roughly
+    # ancestor-sorted) population instead of taking a contiguous
+    # prefix that could sit inside one mode.
+    sub_idx = None
+    if windowed_tau and not store_chain:
+        n_walkers = state.x.shape[0]
+        w = max(2, min(int(tau_walkers), n_walkers))
+        sub_idx = jnp.arange(w) * (n_walkers // w)
     if not track_autocorr:
 
         def body(carry, _):
@@ -866,7 +882,10 @@ def run_chain(
     def body(carry, _):
         st, prev_d, s1, s2, c1 = carry
         new = step_fn(st)
-        out = new.x if store_chain else None
+        out = (
+            new.x if store_chain else None,
+            new.x[sub_idx] if sub_idx is not None else None,
+        )
         delta = new.x - x0
         carry = (
             new,
@@ -877,11 +896,14 @@ def run_chain(
         )
         return carry, out
 
-    (final, _, s1, s2, c1), chain = jax.lax.scan(
+    (final, _, s1, s2, c1), (chain, sub_chain) = jax.lax.scan(
         body, init, None, length=n_steps
     )
     if windowed_tau:
-        tau = sokal_tau_from_chain(chain, x0)
+        if store_chain:
+            tau = sokal_tau_from_chain(chain, x0)
+        else:
+            tau = sokal_tau_from_chain(sub_chain, x0[sub_idx])
     else:
         tau = lag1_autocorr_time(s1, s2, c1, n_steps)
     stats = ChainStats(

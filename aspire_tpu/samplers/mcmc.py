@@ -793,6 +793,34 @@ class ParallelTemperedSampler(MCMCSampler):
             log_p = exchange(log_p, swap)
             return z, log_l, log_p
 
+        # Mesh: shard the walker axis of the (T, n, d) ensemble so the
+        # tempered sweeps (where every likelihood evaluation happens)
+        # run SPMD across devices. Replica swaps exchange rungs
+        # elementwise per walker, so they stay device-local; only the
+        # in-rung stretch partner gathers cross shards.
+        pt_constraint = None
+        if self.mesh is not None and self.target_is_jittable():
+            if n_samples % self.mesh.devices.size == 0:
+                from ..parallel.mesh import walker_sharding
+
+                pt_constraint = walker_sharding(self.mesh)
+            else:
+                logger.debug(
+                    "n_samples (%d) does not tile the %d-device mesh;"
+                    " PT runs without walker sharding.",
+                    n_samples,
+                    self.mesh.devices.size,
+                )
+
+        def _pin(z, log_l, log_p):
+            if pt_constraint is None:
+                return z, log_l, log_p
+            return (
+                jax.lax.with_sharding_constraint(z, pt_constraint),
+                jax.lax.with_sharding_constraint(log_l, pt_constraint),
+                jax.lax.with_sharding_constraint(log_p, pt_constraint),
+            )
+
         def one_round(carry, key_round):
             z, log_l, log_p = carry
             step_key, even_key, odd_key = jax.random.split(key_round, 3)
@@ -802,6 +830,7 @@ class ParallelTemperedSampler(MCMCSampler):
             )
             z, log_l, log_p = swap_pass(z, log_l, log_p, even_key, 0)
             z, log_l, log_p = swap_pass(z, log_l, log_p, odd_key, 1)
+            z, log_l, log_p = _pin(z, log_l, log_p)
             return (z, log_l, log_p), z
 
         def initial_densities(z):
@@ -817,7 +846,12 @@ class ParallelTemperedSampler(MCMCSampler):
 
             @jax.jit
             def run_all(z, keys):
+                if pt_constraint is not None:
+                    z = jax.lax.with_sharding_constraint(
+                        z, pt_constraint
+                    )
                 ll, lp = initial_densities(z)
+                z, ll, lp = _pin(z, ll, lp)
                 (_, _, _), chain = jax.lax.scan(
                     one_round, (z, ll, lp), keys
                 )

@@ -453,10 +453,13 @@ class SMCSampler(Sampler):
         particles -> run chain in transformed space -> invert -> refresh
         log_q / log_prior / log_likelihood).
 
-        ``windowed_tau=True`` stores the chain and records the windowed
-        Sokal autocorrelation time instead of the online AR(1)
-        surrogate (reference smc/emcee.py:66-84 parity); waste-free
-        mutations get it for free (the chain is stored anyway).
+        ``windowed_tau=True`` records the windowed Sokal
+        autocorrelation time instead of the online AR(1) surrogate
+        (reference smc/emcee.py:66-84 parity). Waste-free mutations
+        compute it from the chain they store anyway; otherwise only a
+        strided subset of ``sampler_kwargs['tau_walkers']`` (default
+        1024) walkers is stored for it, so the option is affordable at
+        any population size.
         """
         kwargs = dict(self.default_sampler_kwargs)
         kwargs.update(self.sampler_kwargs or {})
@@ -644,6 +647,7 @@ class SMCSampler(Sampler):
             make_view = self._make_view
             make_imh = self._make_flow_imh_step
             flow_move_every = int(kwargs.get("flow_moves") or 0)
+            tau_walkers = int(kwargs.get("tau_walkers") or 1024)
             if self.mesh is not None:
                 from ..parallel.mesh import particle_sharding
 
@@ -692,9 +696,14 @@ class SMCSampler(Sampler):
                 )
                 final, chain, stats = K.run_chain(
                     step_fn, state, n_steps,
-                    store_chain=waste_free or windowed_tau,
+                    # Waste-free pooling needs the full chain; a
+                    # windowed tau alone only stores the strided
+                    # tau_walkers subset (memory stays O(k * 1024 * d)
+                    # at any population size).
+                    store_chain=waste_free,
                     track_autocorr=True,
                     windowed_tau=windowed_tau,
+                    tau_walkers=tau_walkers,
                 )
                 if waste_free:
                     # Pool every chain state, ancestor-major:
@@ -1050,6 +1059,7 @@ class SMCSampler(Sampler):
         windowed_tau = waste_free or bool(
             self.sampler_kwargs.get("windowed_tau", False)
         )
+        tau_walkers = int(self.sampler_kwargs.get("tau_walkers") or 1024)
         collective_impl = (
             self.resampling_impl
             if self.resampling_impl != "auto" and self.mesh is not None
@@ -1230,12 +1240,14 @@ class SMCSampler(Sampler):
                     step_fn,
                     chain0,
                     n_steps,
-                    store_chain=windowed_tau,
+                    # Waste-free pools the full chain; windowed_tau
+                    # alone stores only the strided tau_walkers
+                    # subset, so opting in costs O(k * 1024 * d)
+                    # memory inside the while_loop at any n.
+                    store_chain=waste_free,
                     track_autocorr=True,
-                    # Waste-free stores the chain anyway, so the
-                    # windowed Sokal tau is free there; the
-                    # windowed_tau sampler kwarg opts in elsewhere.
                     windowed_tau=windowed_tau,
+                    tau_walkers=tau_walkers,
                 )
                 tau = cstats.tau
                 if waste_free:
@@ -1882,22 +1894,15 @@ class SMCSampler(Sampler):
             # The final population's tau feeds no further evidence
             # increments, but it is the recorded mixing diagnostic of
             # the returned samples — default to the windowed estimate
-            # when the (k, n, d) chain buffer is affordable (<= 2^27
-            # elements ~ 512 MB f32). An explicit sampler_kwargs
-            # windowed_tau always wins, in either direction.
+            # on jittable targets (it only stores the strided
+            # tau_walkers subset, so it is affordable at any n). An
+            # explicit sampler_kwargs windowed_tau always wins, in
+            # either direction.
             user_tau = self.sampler_kwargs.get("windowed_tau")
-            k_final = int(
-                n_final_steps
-                or self.sampler_kwargs.get("n_steps")
-                or 5 * self.dims
-            )
-            chain_elems = k_final * n_final_samples * self.dims
             final_windowed = (
                 bool(user_tau)
                 if user_tau is not None
-                else (
-                    self.target_is_jittable() and chain_elems <= 1 << 27
-                )
+                else self.target_is_jittable()
             )
             samples = self.mutate(
                 final,

@@ -719,6 +719,25 @@ def test_windowed_tau_recorded(fitted_aspire):
         assert all(t >= 1.0 for t in taus)
 
 
+def test_windowed_tau_walker_subset(fitted_aspire):
+    """tau_walkers < n: the windowed tau comes from a strided walker
+    subset (the full chain is never stored) on both ladder paths."""
+    for ladder in (False, True):
+        post = fitted_aspire.sample_posterior(
+            n_samples=512, sampler="smc",
+            sampler_kwargs={
+                "n_steps": 8, "windowed_tau": True, "tau_walkers": 64,
+            },
+            device_ladder=ladder,
+        )
+        taus = fitted_aspire.sampler.history.mcmc_autocorr
+        assert len(taus) >= 1
+        assert all(1.0 <= t <= 2e4 for t in taus)
+        assert float(post.log_evidence) == pytest.approx(
+            TRUE_LOG_Z, abs=0.5
+        )
+
+
 class TestFlowIndependenceMoves:
     """flow_moves=k mixes independence-MH proposals from the flow into
     the local mutation kernel (acceptance beta*(w' - w)): a mixture of

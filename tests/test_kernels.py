@@ -420,3 +420,61 @@ class TestSokalWindowedTau:
                 lambda s: s, None, 4, store_chain=False,
                 track_autocorr=True, windowed_tau=True,
             )
+
+    def test_run_chain_subset_windowed_tau(self):
+        """windowed_tau without store_chain: tau from the strided
+        tau_walkers subset tracks the full-chain estimate while no
+        full chain is materialized or returned."""
+        rho = 0.85
+
+        def ar1_step(state):
+            k, sub = jax.random.split(state.key)
+            noise = jax.random.normal(sub, state.x.shape)
+            x = rho * state.x + jnp.sqrt(1 - rho**2) * noise
+            return state._replace(x=x, key=k)
+
+        state = init_state(jax.random.PRNGKey(3), n=2048)
+        _, chain, full = jax.jit(
+            lambda s: K.run_chain(
+                ar1_step, s, 600, store_chain=True,
+                track_autocorr=True, windowed_tau=True,
+            )
+        )(state)
+        _, chain_sub, sub = jax.jit(
+            lambda s: K.run_chain(
+                ar1_step, s, 600, track_autocorr=True,
+                windowed_tau=True, tau_walkers=128,
+            )
+        )(state)
+        assert chain.shape == (600, 2048, 2)
+        assert chain_sub is None
+        # Analytic AR(1) IAT: (1 + rho) / (1 - rho) ~= 12.3. 128
+        # walkers estimate the walker-averaged tau as well as 2048.
+        assert float(sub.tau) == pytest.approx(float(full.tau), rel=0.25)
+        assert float(sub.tau) == pytest.approx(
+            (1 + rho) / (1 - rho), rel=0.35
+        )
+
+    def test_subset_covering_population_is_bit_exact(self):
+        """tau_walkers >= n: the strided subset IS the population, so
+        the subset and stored-chain paths must agree bit-for-bit."""
+
+        def step(state):
+            k, sub = jax.random.split(state.key)
+            x = state.x + 0.3 * jax.random.normal(sub, state.x.shape)
+            return state._replace(x=x, key=k)
+
+        state = init_state(jax.random.PRNGKey(5), n=64)
+        _, _, full = jax.jit(
+            lambda s: K.run_chain(
+                step, s, 50, store_chain=True,
+                track_autocorr=True, windowed_tau=True,
+            )
+        )(state)
+        _, _, sub = jax.jit(
+            lambda s: K.run_chain(
+                step, s, 50, track_autocorr=True,
+                windowed_tau=True, tau_walkers=1024,
+            )
+        )(state)
+        assert float(sub.tau) == float(full.tau)

@@ -102,6 +102,82 @@ class TestShardedSMC:
             float(s_plain.log_evidence), abs=1e-3
         )
 
+    def test_windowed_tau_subset_on_mesh(self, mesh, rng):
+        """windowed_tau with tau_walkers < n on a sharded population:
+        the in-scan subset gather crosses shards; tau must match the
+        unsharded run (same PRNG stream, same chain values)."""
+        from aspire_tpu.flows import Flow
+        from aspire_tpu.models import GaussianProblem
+        from aspire_tpu.samplers import PCNSMC
+
+        p = GaussianProblem(dims=2)
+        flow = Flow(dims=2, architecture="maf", key=0, n_layers=2)
+        flow.fit(
+            p.draw_initial_samples(rng, 800), n_epochs=5, batch_size=256
+        )
+
+        def run(mesh_arg):
+            sampler = PCNSMC(
+                log_likelihood=p.log_likelihood,
+                log_prior=p.log_prior,
+                dims=2,
+                prior_flow=flow,
+                parameters=p.parameters,
+                rng=jax.random.key(5),
+                mesh=mesh_arg,
+            )
+            sampler.sample(
+                256,
+                sampler_kwargs={
+                    "n_steps": 4,
+                    "windowed_tau": True,
+                    "tau_walkers": 32,
+                },
+                max_n_steps=3,
+            )
+            return sampler.history.mcmc_autocorr
+
+        taus_sharded = run(mesh)
+        taus_plain = run(None)
+        assert len(taus_sharded) >= 1
+        np.testing.assert_allclose(
+            taus_sharded, taus_plain, rtol=1e-4
+        )
+
+    def test_pt_walker_sharding_matches_unsharded(self, mesh, rng):
+        """Parallel tempering with the walker axis sharded over the
+        mesh: identical PRNG stream, so the evidence must match the
+        unsharded run."""
+        from aspire_tpu.flows import Flow
+        from aspire_tpu.models import GaussianProblem
+        from aspire_tpu.samplers import ParallelTemperedSampler
+
+        p = GaussianProblem(dims=2)
+        flow = Flow(dims=2, architecture="maf", key=0, n_layers=2)
+        flow.fit(
+            p.draw_initial_samples(rng, 800), n_epochs=5, batch_size=256
+        )
+
+        def run(mesh_arg):
+            sampler = ParallelTemperedSampler(
+                log_likelihood=p.log_likelihood,
+                log_prior=p.log_prior,
+                dims=2,
+                prior_flow=flow,
+                parameters=p.parameters,
+                rng=jax.random.key(9),
+                mesh=mesh_arg,
+            )
+            post = sampler.sample(
+                64, n_steps=30, n_temperatures=5, swap_every=5
+            )
+            return post.log_evidence_stepping_stone()
+
+        lz_sharded, err_sharded = run(mesh)
+        lz_plain, err_plain = run(None)
+        assert lz_sharded == pytest.approx(lz_plain, abs=1e-4)
+        assert err_sharded == pytest.approx(err_plain, abs=1e-5)
+
     def test_dp_flow_training(self, mesh, rng):
         """Flow fit with batch sharding over the mesh runs and learns."""
         from aspire_tpu.flows import Flow
