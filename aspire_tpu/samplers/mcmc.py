@@ -831,7 +831,12 @@ class ParallelTemperedSampler(MCMCSampler):
             z, log_l, log_p = swap_pass(z, log_l, log_p, even_key, 0)
             z, log_l, log_p = swap_pass(z, log_l, log_p, odd_key, 1)
             z, log_l, log_p = _pin(z, log_l, log_p)
-            return (z, log_l, log_p), z
+            # Stack densities with the positions: the chain's (logL,
+            # logPi) are carried invariants, so storing them avoids a
+            # full re-evaluation pass over every stored state (which
+            # would cost n_rounds * T * n extra target evals — up to
+            # 2x the chain itself at swap_every=1).
+            return (z, log_l, log_p), (z, log_l, log_p)
 
         def initial_densities(z):
             ll, lp = logl_logp(z.reshape(-1, self.dims))
@@ -852,12 +857,12 @@ class ParallelTemperedSampler(MCMCSampler):
                     )
                 ll, lp = initial_densities(z)
                 z, ll, lp = _pin(z, ll, lp)
-                (_, _, _), chain = jax.lax.scan(
+                (_, _, _), outs = jax.lax.scan(
                     one_round, (z, ll, lp), keys
                 )
-                return chain
+                return outs
 
-            chain = run_all(z0, round_keys)
+            chain, chain_ll, chain_lp = run_all(z0, round_keys)
         else:
             # Host-target fallback: the user callable cannot be traced,
             # so no vmap/scan — plain Python loops calling the SAME
@@ -883,8 +888,10 @@ class ParallelTemperedSampler(MCMCSampler):
                 lp = jnp.stack([c[2] for c in per_temp])
                 z, ll, lp = swap_pass(z, ll, lp, even_key, 0)
                 z, ll, lp = swap_pass(z, ll, lp, odd_key, 1)
-                outs.append(z)
-            chain = jnp.stack(outs)
+                outs.append((z, ll, lp))
+            chain = jnp.stack([o[0] for o in outs])
+            chain_ll = jnp.stack([o[1] for o in outs])
+            chain_lp = jnp.stack([o[2] for o in outs])
         # One tempered-density pass per stretch move plus the single
         # initialization pass — swaps reuse carried logL.
         self.n_likelihood_evaluations += (
@@ -894,7 +901,7 @@ class ParallelTemperedSampler(MCMCSampler):
         # chain: (n_rounds, T, n, d) -> (T, n_rounds, n, d)
         chain = jnp.moveaxis(chain, 1, 0)
         flat = chain.reshape(-1, self.dims)
-        x, _ = self.invert_preconditioning(flat)
+        x, log_j = self.invert_preconditioning(flat)
         samples = PTMCMCSamples(
             x=x,
             chain_shape=(n_temps, n_rounds, n_samples),
@@ -902,8 +909,16 @@ class ParallelTemperedSampler(MCMCSampler):
             dtype=self.dtype,
             betas=betas,
         )
-        samples.log_prior = self.evaluate_log_prior(samples.x)
-        samples.log_likelihood = self.evaluate_log_likelihood(samples.x)
+        # Densities were carried through the chain (every move/swap
+        # keeps them consistent with the current state), so no second
+        # evaluation pass over the n_rounds * T * n stored states is
+        # needed. The carried log_p is the z-space density
+        # log_prior(x) + log|dx/dz|; subtract the Jacobian to recover
+        # the x-space prior exactly.
+        samples.log_likelihood = jnp.moveaxis(chain_ll, 1, 0).reshape(-1)
+        samples.log_prior = (
+            jnp.moveaxis(chain_lp, 1, 0).reshape(-1) - log_j
+        )
         samples.burn_in = burn_in
         samples.thin = thin
         return samples
