@@ -105,12 +105,22 @@ class MCMCSampler(Sampler):
 
         return log_prob
 
-    def _finalize_chain(self, chain_z, burn_in: int, thin: int):
+    def _finalize_chain(
+        self,
+        chain_z,
+        burn_in: int,
+        thin: int,
+        checkpoint_file_path: str | None = None,
+        checkpoint_every: int | None = None,
+    ):
         """Invert preconditioning over the whole chain and wrap."""
         n_steps, n_walkers, d = chain_z.shape
         flat = chain_z.reshape(-1, d)
         x, _ = self.invert_preconditioning(flat)
         chain = x.reshape(n_steps, n_walkers, d)
+        self._maybe_checkpoint_chain(
+            chain, n_steps, checkpoint_file_path, checkpoint_every
+        )
         samples = MCMCSamples.from_chain(
             chain,
             parameters=self.parameters,
@@ -122,8 +132,35 @@ class MCMCSampler(Sampler):
 
     # -- chain checkpointing (reference mcmc.py:128-191) --------------------
 
+    def _maybe_checkpoint_chain(
+        self,
+        chain,
+        iteration: int,
+        file_path: str | None,
+        every: int | None,
+        extra_attrs: dict | None = None,
+    ) -> None:
+        """Persist the finished x-space chain when a path was routed in.
+
+        Reference semantics (mcmc.py:169-192): ``checkpoint_every <= 0``
+        disables saving; the full pre-burn/pre-thin chain is written so
+        burn-in/thin decisions can be revisited at load time.
+        """
+        if file_path is None:
+            return
+        if every is not None and every <= 0:
+            return
+        self.save_chain_checkpoint(
+            np.asarray(chain), int(iteration), str(file_path),
+            extra_attrs=extra_attrs,
+        )
+
     def save_chain_checkpoint(
-        self, chain: np.ndarray, iteration: int, file_path: str
+        self,
+        chain: np.ndarray,
+        iteration: int,
+        file_path: str,
+        extra_attrs: dict | None = None,
     ) -> None:
         from ..io import AspireFile
 
@@ -136,6 +173,8 @@ class MCMCSampler(Sampler):
             )
             ds.attrs["iteration"] = iteration
             ds.attrs["shape"] = chain.shape
+            for key, value in (extra_attrs or {}).items():
+                ds.attrs[key] = value
 
     def load_chain_checkpoint(self, file_path: str):
         import h5py
@@ -160,6 +199,8 @@ class PCNSampler(MCMCSampler):
         initial_step_size: float = 0.5,
         burn_in: int = 0,
         thin: int = 1,
+        checkpoint_file_path: str | None = None,
+        checkpoint_every: int | None = None,
     ) -> MCMCSamples:
         # No **kwargs: an open signature would silently swallow
         # misrouted options (sample_posterior only warns about unknown
@@ -213,7 +254,11 @@ class PCNSampler(MCMCSampler):
         self.n_likelihood_evaluations += (n_steps + 1) * z.shape[0]
         acceptance = float(jnp.mean(final.n_accept / n_steps))
         logger.info("Mean acceptance rate: %.3f", acceptance)
-        samples = self._finalize_chain(chain, burn_in, thin)
+        samples = self._finalize_chain(
+            chain, burn_in, thin,
+            checkpoint_file_path=checkpoint_file_path,
+            checkpoint_every=checkpoint_every,
+        )
         samples.acceptance_rate = acceptance
         return samples
 
@@ -229,6 +274,8 @@ class EnsembleSampler(MCMCSampler):
         a: float = 2.0,
         burn_in: int = 0,
         thin: int = 1,
+        checkpoint_file_path: str | None = None,
+        checkpoint_every: int | None = None,
     ) -> MCMCSamples:
         # No **kwargs — see PCNSampler.sample.
         init = self.draw_initial_samples(n_samples)
@@ -259,7 +306,11 @@ class EnsembleSampler(MCMCSampler):
         self.n_likelihood_evaluations += (n_steps + 1) * z.shape[0]
         acceptance = float(jnp.mean(final.n_accept / n_steps))
         logger.info("Mean acceptance rate: %.3f", acceptance)
-        samples = self._finalize_chain(chain, burn_in, thin)
+        samples = self._finalize_chain(
+            chain, burn_in, thin,
+            checkpoint_file_path=checkpoint_file_path,
+            checkpoint_every=checkpoint_every,
+        )
         samples.acceptance_rate = acceptance
         samples.compute_autocorrelation_time()
         return samples
@@ -526,6 +577,8 @@ class ParallelTemperedSampler(MCMCSampler):
         ladder_probe_size: int = 4096,
         ladder_pilot_steps: int = 0,
         ladder_pilot_iterations: int = 1,
+        checkpoint_file_path: str | None = None,
+        checkpoint_every: int | None = None,
         _init_x: np.ndarray | None = None,
     ) -> PTMCMCSamples:
         # No **kwargs — see PCNSampler.sample.
@@ -921,4 +974,15 @@ class ParallelTemperedSampler(MCMCSampler):
         )
         samples.burn_in = burn_in
         samples.thin = thin
+        # Persist the finished (T, rounds, n, d) x-space chain with its
+        # temperature ladder so evidence estimates can be recomputed
+        # from the file (pilot runs pass neither kwarg, so they never
+        # touch the checkpoint).
+        self._maybe_checkpoint_chain(
+            samples.chain,
+            n_rounds * swap_every,
+            checkpoint_file_path,
+            checkpoint_every,
+            extra_attrs={"betas": np.asarray(betas, dtype=float)},
+        )
         return samples
