@@ -753,6 +753,7 @@ class ParallelTemperedSampler(MCMCSampler):
             jnp ops: runs traced (under vmap/scan) for jittable targets
             and EAGERLY for host-numpy targets."""
             keys = jax.random.split(k_move, 6)
+            n_acc = jnp.zeros((), z.dtype)
             for b, (m0, m1, o0, o1) in enumerate(blocks):
                 n_move, n_other = m1 - m0, o1 - o0
                 idx = jnp.arange(m0, m1)
@@ -799,22 +800,27 @@ class ParallelTemperedSampler(MCMCSampler):
                 lp = lp.at[idx].set(
                     jnp.where(accept, lp_prop, lp[idx])
                 )
-            return z, ll, lp
+                n_acc = n_acc + jnp.sum(accept.astype(z.dtype))
+            return z, ll, lp, n_acc
 
         def tempered_stretch_sweep(zt, llt, lpt, kt, bt):
             """``swap_every`` moves at ONE temperature. vmapped over
             the temperature axis for jittable targets, so all rungs
             advance in one batched computation (a T=64 ladder compiles
-            the same program as T=8)."""
+            the same program as T=8). Also returns the accepted-move
+            count at this rung (the per-rung acceptance diagnostic)."""
 
             def body(carry, k_move):
-                return one_move(*carry, k_move, bt), None
+                z, ll, lp, acc = carry
+                z, ll, lp, n_acc = one_move(z, ll, lp, k_move, bt)
+                return (z, ll, lp, acc + n_acc), None
 
             move_keys = jax.random.split(kt, swap_every)
-            (zt, llt, lpt), _ = jax.lax.scan(
-                body, (zt, llt, lpt), move_keys
+            acc0 = jnp.zeros((), zt.dtype)
+            (zt, llt, lpt, acc), _ = jax.lax.scan(
+                body, (zt, llt, lpt, acc0), move_keys
             )
-            return zt, llt, lpt
+            return zt, llt, lpt, acc
 
         # Even/odd (DEO) replica-exchange passes: all disjoint adjacent
         # pairs swap in one vectorized step, so a sweep is two gathers
@@ -824,10 +830,10 @@ class ParallelTemperedSampler(MCMCSampler):
             1: np.arange(1, n_temps - 1, 2),
         }
 
-        def swap_pass(z, log_l, log_p, key, parity):
+        def swap_pass(z, log_l, log_p, swap_acc, key, parity):
             lo = swap_starts[parity]
             if lo.size == 0:
-                return z, log_l, log_p
+                return z, log_l, log_p, swap_acc
             hi = lo + 1
             d_beta = betas_arr[lo] - betas_arr[hi]
             log_alpha = -d_beta[:, None] * (log_l[lo] - log_l[hi])
@@ -844,7 +850,10 @@ class ParallelTemperedSampler(MCMCSampler):
             z = exchange(z, swap[..., None])
             log_l = exchange(log_l, swap)
             log_p = exchange(log_p, swap)
-            return z, log_l, log_p
+            swap_acc = swap_acc.at[lo].add(
+                jnp.sum(swap, axis=1).astype(swap_acc.dtype)
+            )
+            return z, log_l, log_p, swap_acc
 
         # Mesh: shard the walker axis of the (T, n, d) ensemble so the
         # tempered sweeps (where every likelihood evaluation happens)
@@ -875,21 +884,29 @@ class ParallelTemperedSampler(MCMCSampler):
             )
 
         def one_round(carry, key_round):
-            z, log_l, log_p = carry
+            z, log_l, log_p, move_acc, swap_acc = carry
             step_key, even_key, odd_key = jax.random.split(key_round, 3)
             step_keys = jax.random.split(step_key, n_temps)
-            z, log_l, log_p = jax.vmap(tempered_stretch_sweep)(
+            z, log_l, log_p, acc_t = jax.vmap(tempered_stretch_sweep)(
                 z, log_l, log_p, step_keys, betas_arr
             )
-            z, log_l, log_p = swap_pass(z, log_l, log_p, even_key, 0)
-            z, log_l, log_p = swap_pass(z, log_l, log_p, odd_key, 1)
+            move_acc = move_acc + acc_t
+            z, log_l, log_p, swap_acc = swap_pass(
+                z, log_l, log_p, swap_acc, even_key, 0
+            )
+            z, log_l, log_p, swap_acc = swap_pass(
+                z, log_l, log_p, swap_acc, odd_key, 1
+            )
             z, log_l, log_p = _pin(z, log_l, log_p)
             # Stack densities with the positions: the chain's (logL,
             # logPi) are carried invariants, so storing them avoids a
             # full re-evaluation pass over every stored state (which
             # would cost n_rounds * T * n extra target evals — up to
             # 2x the chain itself at swap_every=1).
-            return (z, log_l, log_p), (z, log_l, log_p)
+            return (
+                (z, log_l, log_p, move_acc, swap_acc),
+                (z, log_l, log_p),
+            )
 
         def initial_densities(z):
             ll, lp = logl_logp(z.reshape(-1, self.dims))
@@ -910,18 +927,26 @@ class ParallelTemperedSampler(MCMCSampler):
                     )
                 ll, lp = initial_densities(z)
                 z, ll, lp = _pin(z, ll, lp)
-                (_, _, _), outs = jax.lax.scan(
-                    one_round, (z, ll, lp), keys
+                acc0 = (
+                    jnp.zeros((n_temps,), z.dtype),
+                    jnp.zeros((max(n_temps - 1, 0),), z.dtype),
                 )
-                return outs
+                (_, _, _, move_acc, swap_acc), outs = jax.lax.scan(
+                    one_round, (z, ll, lp, *acc0), keys
+                )
+                return outs, move_acc, swap_acc
 
-            chain, chain_ll, chain_lp = run_all(z0, round_keys)
+            (chain, chain_ll, chain_lp), move_acc, swap_acc = run_all(
+                z0, round_keys
+            )
         else:
             # Host-target fallback: the user callable cannot be traced,
             # so no vmap/scan — plain Python loops calling the SAME
             # one_move / swap_pass math eagerly (identical key usage,
             # so the two paths draw the same random streams).
             z, (ll, lp) = z0, initial_densities(z0)
+            move_acc = jnp.zeros((n_temps,), z.dtype)
+            swap_acc = jnp.zeros((max(n_temps - 1, 0),), z.dtype)
             outs = []
             for key_round in round_keys:
                 step_key, even_key, odd_key = jax.random.split(
@@ -930,17 +955,24 @@ class ParallelTemperedSampler(MCMCSampler):
                 step_keys = jax.random.split(step_key, n_temps)
                 per_temp = []
                 for t in range(n_temps):
-                    carry = (z[t], ll[t], lp[t])
+                    zt, llt, lpt = z[t], ll[t], lp[t]
                     for k_move in jax.random.split(
                         step_keys[t], swap_every
                     ):
-                        carry = one_move(*carry, k_move, betas_arr[t])
-                    per_temp.append(carry)
+                        zt, llt, lpt, n_acc = one_move(
+                            zt, llt, lpt, k_move, betas_arr[t]
+                        )
+                        move_acc = move_acc.at[t].add(n_acc)
+                    per_temp.append((zt, llt, lpt))
                 z = jnp.stack([c[0] for c in per_temp])
                 ll = jnp.stack([c[1] for c in per_temp])
                 lp = jnp.stack([c[2] for c in per_temp])
-                z, ll, lp = swap_pass(z, ll, lp, even_key, 0)
-                z, ll, lp = swap_pass(z, ll, lp, odd_key, 1)
+                z, ll, lp, swap_acc = swap_pass(
+                    z, ll, lp, swap_acc, even_key, 0
+                )
+                z, ll, lp, swap_acc = swap_pass(
+                    z, ll, lp, swap_acc, odd_key, 1
+                )
                 outs.append((z, ll, lp))
             chain = jnp.stack([o[0] for o in outs])
             chain_ll = jnp.stack([o[1] for o in outs])
@@ -974,6 +1006,26 @@ class ParallelTemperedSampler(MCMCSampler):
         )
         samples.burn_in = burn_in
         samples.thin = thin
+        # Per-rung diagnostics: stretch-move acceptance (one attempt
+        # per walker per move) and adjacent-pair swap acceptance (each
+        # DEO pair attempted once per round). Low swap acceptance at a
+        # pair flags a ladder gap; near-1 flags redundant rungs.
+        samples.move_acceptance = np.asarray(
+            move_acc / (n_rounds * swap_every * n_samples)
+        )
+        samples.swap_acceptance = np.asarray(
+            swap_acc / (n_rounds * n_samples)
+        )
+        if len(samples.swap_acceptance):
+            logger.info(
+                "PT acceptance: moves mean %.3f (min %.3f); swaps "
+                "mean %.3f (min %.3f at pair %d)",
+                float(samples.move_acceptance.mean()),
+                float(samples.move_acceptance.min()),
+                float(samples.swap_acceptance.mean()),
+                float(samples.swap_acceptance.min()),
+                int(samples.swap_acceptance.argmin()),
+            )
         # Persist the finished (T, rounds, n, d) x-space chain with its
         # temperature ladder so evidence estimates can be recomputed
         # from the file (pilot runs pass neither kwarg, so they never

@@ -147,6 +147,14 @@ def test_ptmcmc_evidence(fitted_aspire):
     # PT with few temps is coarse; generous tolerances.
     assert logz_ti == pytest.approx(TRUE_LOG_Z, abs=1.0)
     assert logz_ss == pytest.approx(TRUE_LOG_Z, abs=1.0)
+    # Per-rung diagnostics: (T,) move acceptance, (T-1,) DEO swap
+    # acceptance, both genuine rates.
+    assert samples.move_acceptance.shape == (6,)
+    assert samples.swap_acceptance.shape == (5,)
+    assert np.all(samples.move_acceptance > 0.0)
+    assert np.all(samples.move_acceptance <= 1.0)
+    assert np.all(samples.swap_acceptance > 0.0)
+    assert np.all(samples.swap_acceptance <= 1.0)
 
 
 def test_ptmcmc_adaptive_ladder(fitted_aspire):
