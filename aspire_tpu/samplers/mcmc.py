@@ -463,6 +463,7 @@ class ParallelTemperedSampler(MCMCSampler):
         discard_fraction: float = 0.5,
         min_beta_step: float = 1e-4,
         max_n_temperatures: int | None = None,
+        swap_floor: float = 0.15,
     ) -> np.ndarray:
         """Re-place PT rungs from a pilot run's *measured* rung means.
 
@@ -483,6 +484,14 @@ class ParallelTemperedSampler(MCMCSampler):
         The first ``discard_fraction`` of pilot rounds is dropped as
         burn-in; rungs closer than ``min_beta_step`` are merged.
         Returns betas sorted descending with endpoints pinned to 1, 0.
+
+        When the pilot carries per-pair ``swap_acceptance``, any
+        adjacent pair below ``swap_floor`` additionally gets its
+        midpoint inserted. This is deliberately independent of the
+        equal-``dE`` criterion: swap acceptance depends on the OVERLAP
+        of the two rungs' logL *distributions*, so a pair can have a
+        tiny mean increment (equal-dE sees nothing) yet exchange
+        rarely when the within-rung logL variance is large.
         """
         t_dim, r_dim, n_dim = samples.chain_shape
         ll = np.asarray(
@@ -541,7 +550,23 @@ class ParallelTemperedSampler(MCMCSampler):
                 np.interp(b, b_asc, e_asc) - e_asc
             ).min() > 0.25 * e_step
         ]
-        union = np.sort(np.concatenate([b_asc, keep_new]))
+        # Swap-overlap rescue: midpoints of pilot pairs whose measured
+        # DEO swap acceptance fell below the floor. These bypass the
+        # equal-dE redundancy check — low acceptance at a small-dE pair
+        # means the logL distributions barely overlap despite the close
+        # means (the equal-dE blind spot).
+        swap_acc = getattr(samples, "swap_acceptance", None)
+        rescue = []
+        if (
+            swap_acc is not None
+            and len(swap_acc) == len(betas_desc) - 1
+        ):
+            for i, acc in enumerate(np.asarray(swap_acc, dtype=float)):
+                if np.isfinite(acc) and acc < swap_floor:
+                    rescue.append(
+                        0.5 * (betas_desc[i] + betas_desc[i + 1])
+                    )
+        union = np.sort(np.concatenate([b_asc, keep_new, rescue]))
         ladder = [0.0]
         for b in union:
             if b - ladder[-1] >= min_beta_step and b <= 1.0 - min_beta_step:

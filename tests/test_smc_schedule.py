@@ -417,3 +417,50 @@ class TestPilotLadderRefinement:
             mcmc._bisect_pt_beta.__wrapped__
         )
         assert callable(monotone_beta_bisect)
+
+
+class TestSwapFloorRescue:
+    """Low-swap-acceptance pairs get a midpoint rung even when the
+    equal-dE criterion sees nothing (the overlap blind spot)."""
+
+    def _samples(self, betas_desc, rung_means, swap_acc):
+        from aspire_tpu.samples import PTMCMCSamples
+
+        t, r, n = len(betas_desc), 8, 16
+        ll = np.repeat(
+            np.asarray(rung_means, float)[:, None, None], r, axis=1
+        ).repeat(n, axis=2)
+        s = PTMCMCSamples(
+            x=np.zeros((t * r * n, 2)),
+            chain_shape=(t, r, n),
+            betas=np.asarray(betas_desc, float),
+        )
+        s.log_likelihood = ll.reshape(-1)
+        s.swap_acceptance = np.asarray(swap_acc, float)
+        return s
+
+    def _sampler(self):
+        from aspire_tpu.samplers.mcmc import ParallelTemperedSampler
+
+        return ParallelTemperedSampler.__new__(ParallelTemperedSampler)
+
+    def test_low_swap_pair_gets_midpoint(self):
+        # Linear integrand on an equal-dE grid: equal-dE adds nothing,
+        # but the (0.5, 0.25) pair barely swaps -> midpoint inserted.
+        betas = [1.0, 0.75, 0.5, 0.25, 0.0]
+        means = -2.0 - 10.0 * (1.0 - np.asarray(betas))
+        out = self._sampler().refine_ladder_from_run(
+            self._samples(betas, means, [0.6, 0.7, 0.02, 0.5]),
+            n_temperatures=5,
+        )
+        assert np.min(np.abs(out - 0.375)) < 1e-12
+        assert len(out) == len(betas) + 1
+
+    def test_healthy_swaps_add_nothing(self):
+        betas = [1.0, 0.75, 0.5, 0.25, 0.0]
+        means = -2.0 - 10.0 * (1.0 - np.asarray(betas))
+        out = self._sampler().refine_ladder_from_run(
+            self._samples(betas, means, [0.6, 0.7, 0.5, 0.5]),
+            n_temperatures=5,
+        )
+        assert len(out) == len(betas)
