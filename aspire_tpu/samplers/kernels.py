@@ -853,12 +853,14 @@ def run_chain(
         )
     # Strided subset spreads across the (resampled, hence roughly
     # ancestor-sorted) population instead of taking a contiguous
-    # prefix that could sit inside one mode.
+    # prefix that could sit inside one mode. The (i * n) // w formula
+    # keeps full coverage for every (n, w): a plain n // w stride
+    # degenerates to a contiguous prefix when w <= n < 2w.
     sub_idx = None
     if windowed_tau and not store_chain:
         n_walkers = state.x.shape[0]
-        w = max(2, min(int(tau_walkers), n_walkers))
-        sub_idx = jnp.arange(w) * (n_walkers // w)
+        w = max(1, min(int(tau_walkers), n_walkers))
+        sub_idx = (jnp.arange(w) * n_walkers) // w
     if not track_autocorr:
 
         def body(carry, _):

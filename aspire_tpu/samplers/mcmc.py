@@ -506,6 +506,25 @@ class ParallelTemperedSampler(MCMCSampler):
             n_finite > 0, sums / np.maximum(n_finite, 1), np.nan
         )
         betas_desc = np.asarray(samples.betas, dtype=np.float64)
+        # Swap-overlap rescue: midpoints of pilot pairs whose measured
+        # DEO swap acceptance fell below the floor. Computed before any
+        # early return — the diagnostic is actionable even when the
+        # rung means are flat or unmeasurable. These bypass the
+        # equal-dE redundancy check: low acceptance at a small-dE pair
+        # means the logL distributions barely overlap despite the close
+        # means (the equal-dE blind spot).
+        swap_acc = getattr(samples, "swap_acceptance", None)
+        rescue = []
+        if (
+            swap_acc is not None
+            and len(swap_acc) == len(betas_desc) - 1
+        ):
+            for i, acc in enumerate(np.asarray(swap_acc, dtype=float)):
+                if np.isfinite(acc) and acc < swap_floor:
+                    rescue.append(
+                        0.5 * (betas_desc[i] + betas_desc[i + 1])
+                    )
+        rescue_set = {float(b) for b in rescue}
         order = np.argsort(betas_desc)
         b_asc = betas_desc[order]
         e_asc = means[order]
@@ -516,19 +535,40 @@ class ParallelTemperedSampler(MCMCSampler):
             # already as good as any — but the rung budget still binds;
             # with no integrand to rank rungs by, thin evenly by index
             # (endpoints land on indices 0 and len-1, so they survive).
+            # Rescue midpoints are reserved budget: the pilot rungs are
+            # thinned to (cap - #rescue) first so the rescued pairs
+            # keep their new rung.
             cap = (
                 max(max_n_temperatures, 2)
                 if max_n_temperatures is not None
                 else None
             )
-            if cap is not None and len(betas_desc) > cap:
+            base = betas_desc
+            resc = np.asarray(
+                [b for b in rescue if 0.0 < b < 1.0], dtype=float
+            )
+            if cap is not None and len(base) > max(cap - resc.size, 2):
                 idx = np.unique(
                     np.round(
-                        np.linspace(0, len(betas_desc) - 1, cap)
+                        np.linspace(
+                            0, len(base) - 1, max(cap - resc.size, 2)
+                        )
                     ).astype(int)
                 )
-                return betas_desc[idx]
-            return betas_desc
+                base = base[idx]
+            ladder = np.unique(np.concatenate([base, resc]))[::-1]
+            if cap is not None and len(ladder) > cap:
+                # Rescue alone exceeded the budget: thin its interior.
+                inner = ladder[1:-1]
+                idx = np.unique(
+                    np.round(
+                        np.linspace(0, len(inner) - 1, cap - 2)
+                    ).astype(int)
+                )
+                ladder = np.concatenate(
+                    [ladder[:1], inner[idx], ladder[-1:]]
+                )
+            return np.asarray(ladder, dtype=float)
         # Monotone envelope: E_beta[logL] is nondecreasing in beta in
         # expectation; pilot noise must not fold the interpolant back.
         e_asc = np.maximum.accumulate(e_asc)
@@ -550,22 +590,6 @@ class ParallelTemperedSampler(MCMCSampler):
                 np.interp(b, b_asc, e_asc) - e_asc
             ).min() > 0.25 * e_step
         ]
-        # Swap-overlap rescue: midpoints of pilot pairs whose measured
-        # DEO swap acceptance fell below the floor. These bypass the
-        # equal-dE redundancy check — low acceptance at a small-dE pair
-        # means the logL distributions barely overlap despite the close
-        # means (the equal-dE blind spot).
-        swap_acc = getattr(samples, "swap_acceptance", None)
-        rescue = []
-        if (
-            swap_acc is not None
-            and len(swap_acc) == len(betas_desc) - 1
-        ):
-            for i, acc in enumerate(np.asarray(swap_acc, dtype=float)):
-                if np.isfinite(acc) and acc < swap_floor:
-                    rescue.append(
-                        0.5 * (betas_desc[i] + betas_desc[i + 1])
-                    )
         union = np.sort(np.concatenate([b_asc, keep_new, rescue]))
         ladder = [0.0]
         for b in union:
@@ -578,11 +602,21 @@ class ParallelTemperedSampler(MCMCSampler):
             # the measured integrand (its removal costs the least
             # quadrature resolution and the most-overlapped swap pair).
             # The 0/1 endpoints are never dropped, so the effective
-            # floor of the budget is 2.
+            # floor of the budget is 2. Rescue midpoints sit where the
+            # rung means are flattest BY CONSTRUCTION (they were added
+            # because acceptance, not dE, flagged the pair), so the
+            # flattest-span rule would delete them first — they are
+            # protected unless nothing else remains.
             while len(ladder) > max(max_n_temperatures, 2):
                 e_lad = np.interp(ladder, b_asc, e_asc)
                 spans = e_lad[2:] - e_lad[:-2]  # span bridged by rung i
-                drop = 1 + int(np.argmin(spans))
+                drop = None
+                for j in np.argsort(spans):
+                    if float(ladder[1 + int(j)]) not in rescue_set:
+                        drop = 1 + int(j)
+                        break
+                if drop is None:
+                    drop = 1 + int(np.argmin(spans))
                 del ladder[drop]
         return np.asarray(ladder[::-1], dtype=float)
 

@@ -464,3 +464,41 @@ class TestSwapFloorRescue:
             n_temperatures=5,
         )
         assert len(out) == len(betas)
+
+    def test_rescue_survives_the_cap(self):
+        # Ladder already at the budget: the rescue midpoint must not be
+        # the first rung dropped by the flattest-span trim (it IS the
+        # flattest-span rung by construction).
+        betas = [1.0, 0.75, 0.5, 0.25, 0.0]
+        means = -2.0 - 10.0 * (1.0 - np.asarray(betas))
+        out = self._sampler().refine_ladder_from_run(
+            self._samples(betas, means, [0.6, 0.7, 0.02, 0.5]),
+            n_temperatures=5,
+            max_n_temperatures=5,
+        )
+        assert len(out) == 5
+        assert np.min(np.abs(out - 0.375)) < 1e-12
+
+    def test_rescue_applies_on_flat_integrand(self):
+        # Flat rung means (the early-return branch): the acceptance
+        # diagnostic is still actionable and must insert the midpoint.
+        betas = [1.0, 0.75, 0.5, 0.25, 0.0]
+        out = self._sampler().refine_ladder_from_run(
+            self._samples(betas, [-2.0] * 5, [0.6, 0.7, 0.02, 0.5]),
+            n_temperatures=5,
+        )
+        assert np.min(np.abs(out - 0.375)) < 1e-12
+
+    def test_rescue_reserved_in_flat_cap_thinning(self):
+        betas = np.linspace(1.0, 0.0, 12)
+        out = self._sampler().refine_ladder_from_run(
+            self._samples(
+                betas, [-2.0] * 12, [0.5] * 10 + [0.01]
+            ),
+            n_temperatures=12,
+            max_n_temperatures=6,
+        )
+        assert len(out) <= 6
+        mid = 0.5 * (betas[-2] + betas[-1])
+        assert np.min(np.abs(out - mid)) < 1e-12
+        assert out[0] == 1.0 and out[-1] == 0.0
