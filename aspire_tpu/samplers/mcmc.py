@@ -620,6 +620,87 @@ class ParallelTemperedSampler(MCMCSampler):
                 del ladder[drop]
         return np.asarray(ladder[::-1], dtype=float)
 
+    #: HDF5 group holding the resumable mid-run PT state.
+    pt_state_path = "checkpoint/pt_state"
+
+    def save_pt_state(
+        self,
+        file_path: str,
+        *,
+        betas,
+        round_keys,
+        rounds_done: int,
+        swap_every: int,
+        n_steps: int,
+        n_samples: int,
+        carry,
+        chunks,
+    ) -> None:
+        """Persist a resumable mid-run PT state.
+
+        ``carry`` is the live scan carry (z, logL, logPi, move_acc,
+        swap_acc); ``chunks`` the per-chunk (chain, chain_ll, chain_lp)
+        outputs so far. The full round-key array is saved so a resumed
+        run replays the exact remaining PRNG stream — a completed
+        resume is bit-identical to the uninterrupted run.
+        """
+        from ..io import AspireFile
+
+        z, ll, lp, move_acc, swap_acc = carry
+        with AspireFile(file_path, "a") as f:
+            if self.pt_state_path in f:
+                del f[self.pt_state_path]
+            g = f.require_group(self.pt_state_path)
+            g.create_dataset("z", data=np.asarray(z))
+            g.create_dataset("ll", data=np.asarray(ll))
+            g.create_dataset("lp", data=np.asarray(lp))
+            g.create_dataset("move_acc", data=np.asarray(move_acc))
+            g.create_dataset("swap_acc", data=np.asarray(swap_acc))
+            g.create_dataset("betas", data=np.asarray(betas, float))
+            g.create_dataset(
+                "round_keys",
+                data=np.asarray(jax.random.key_data(round_keys)),
+            )
+            for name, i in (("chain", 0), ("chain_ll", 1),
+                            ("chain_lp", 2)):
+                g.create_dataset(
+                    name,
+                    data=np.concatenate(
+                        [np.asarray(c[i]) for c in chunks], axis=0
+                    ),
+                )
+            g.attrs["rounds_done"] = int(rounds_done)
+            g.attrs["swap_every"] = int(swap_every)
+            g.attrs["n_steps"] = int(n_steps)
+            g.attrs["n_samples"] = int(n_samples)
+
+    def load_pt_state(self, file_path: str) -> dict:
+        import h5py
+
+        with h5py.File(file_path, "r") as f:
+            g = f[self.pt_state_path]
+            state = {k: np.asarray(g[k][()]) for k in g.keys()}
+            state.update({k: g.attrs[k] for k in g.attrs.keys()})
+        state["round_keys"] = jax.random.wrap_key_data(
+            jnp.asarray(state["round_keys"])
+        )
+        return state
+
+    def config_dict(self, include_sample_calls: str | bool = "last"):
+        # resume_from points at a file from a previous run; a replayed
+        # call must not try to re-open it (same scrub as the SMC
+        # sampler's config_dict).
+        config = super().config_dict(include_sample_calls)
+        if "sample_calls" in config:
+            kwargs = config["sample_calls"].get("kwargs")
+            if isinstance(kwargs, dict):
+                kwargs.pop("resume_from", None)
+            else:
+                for call in config["sample_calls"].values():
+                    if isinstance(call, dict):
+                        call.get("kwargs", {}).pop("resume_from", None)
+        return config
+
     @track_calls
     def sample(
         self,
@@ -638,6 +719,7 @@ class ParallelTemperedSampler(MCMCSampler):
         ladder_pilot_iterations: int = 1,
         checkpoint_file_path: str | None = None,
         checkpoint_every: int | None = None,
+        resume_from: str | None = None,
         _init_x: np.ndarray | None = None,
     ) -> PTMCMCSamples:
         # No **kwargs — see PCNSampler.sample.
@@ -646,6 +728,34 @@ class ParallelTemperedSampler(MCMCSampler):
                 f"n_steps ({n_steps}) must be at least swap_every "
                 f"({swap_every}) — fewer steps than one swap round "
                 "would run no rounds at all."
+            )
+        pt_resume = None
+        if resume_from is not None:
+            pt_resume = self.load_pt_state(resume_from)
+            mismatches = {
+                "n_steps": (int(pt_resume["n_steps"]), n_steps),
+                "swap_every": (
+                    int(pt_resume["swap_every"]), swap_every
+                ),
+                "n_samples": (
+                    int(pt_resume["n_samples"]), n_samples
+                ),
+            }
+            bad = {k: v for k, v in mismatches.items() if v[0] != v[1]}
+            if bad:
+                raise ValueError(
+                    "resume_from state disagrees with this call's "
+                    f"configuration: {bad} (saved, requested)."
+                )
+            # The saved ladder IS the run's ladder: adaptation and
+            # pilots already happened before the first chunk.
+            betas = np.asarray(pt_resume["betas"], dtype=float)
+            ladder_pilot_steps = 0
+            logger.info(
+                "Resuming PT sampling at round %d/%d from %s",
+                int(pt_resume["rounds_done"]),
+                n_steps // swap_every,
+                resume_from,
             )
         probe = None
         probe_full = None
@@ -769,23 +879,44 @@ class ParallelTemperedSampler(MCMCSampler):
         n_temps = len(betas)
         betas_arr = jnp.asarray(betas)
 
-        if _init_x is not None:
-            init_x = jnp.asarray(_init_x).reshape(-1, self.dims)
-            if init_x.shape[0] != n_samples * n_temps:
+        if pt_resume is not None:
+            # The carry (z, logL, logPi) is restored below; no initial
+            # draws (or their target evaluations) are needed. The
+            # preconditioning transform must still be rebuilt so the
+            # final chain inversion matches the saved z-space — refit
+            # on the restored cold-rung states is NOT valid (the saved
+            # z were produced under the ORIGINAL fit), so resume is
+            # restricted to runs without a preconditioning transform.
+            if self.preconditioning_transform is not None:
                 raise ValueError(
-                    f"_init_x supplies {init_x.shape[0]} states; the "
-                    f"run needs n_temperatures * n_samples = "
-                    f"{n_temps * n_samples}."
+                    "PT resume_from does not support a preconditioning "
+                    "transform (the transform refit would not match "
+                    "the saved z-space states); run with "
+                    "preconditioning=None."
                 )
-        elif probe is not None and n_temps > 1:
-            rest = self.draw_initial_samples(n_samples * (n_temps - 1))
-            init_x = type(probe).concatenate([probe, rest]).x
-        elif probe is not None:
-            init_x = probe.x
+            z0 = None
         else:
-            init_x = self.draw_initial_samples(n_samples * n_temps).x
-        z0 = self.fit_preconditioning_transform(init_x)
-        z0 = z0.reshape(n_temps, n_samples, self.dims)
+            if _init_x is not None:
+                init_x = jnp.asarray(_init_x).reshape(-1, self.dims)
+                if init_x.shape[0] != n_samples * n_temps:
+                    raise ValueError(
+                        f"_init_x supplies {init_x.shape[0]} states; "
+                        f"the run needs n_temperatures * n_samples = "
+                        f"{n_temps * n_samples}."
+                    )
+            elif probe is not None and n_temps > 1:
+                rest = self.draw_initial_samples(
+                    n_samples * (n_temps - 1)
+                )
+                init_x = type(probe).concatenate([probe, rest]).x
+            elif probe is not None:
+                init_x = probe.x
+            else:
+                init_x = self.draw_initial_samples(
+                    n_samples * n_temps
+                ).x
+            z0 = self.fit_preconditioning_transform(init_x)
+            z0 = z0.reshape(n_temps, n_samples, self.dims)
 
         precond = self.preconditioning_transform
         log_likelihood = self.log_likelihood
@@ -975,39 +1106,117 @@ class ParallelTemperedSampler(MCMCSampler):
             )
 
         n_rounds = n_steps // swap_every
-        round_keys = jax.random.split(self.next_key(), n_rounds)
+        # Mid-run checkpointing: checkpoint_every > 0 chunks the run at
+        # round granularity and saves a resumable state after every
+        # chunk. Restricted to preconditioning=None (the saved states
+        # live in the transform's z-space, which a fresh refit would
+        # not reproduce).
+        save_every = None
+        if (
+            checkpoint_file_path is not None
+            and checkpoint_every
+            and int(checkpoint_every) > 0
+        ):
+            if self.preconditioning_transform is not None:
+                logger.warning(
+                    "Mid-run PT state checkpoints require "
+                    "preconditioning=None; only the final chain will "
+                    "be saved."
+                )
+            else:
+                save_every = int(checkpoint_every)
+        if pt_resume is not None:
+            round_keys = pt_resume["round_keys"]
+            rounds_done = int(pt_resume["rounds_done"])
+            chunks = (
+                [(
+                    pt_resume["chain"],
+                    pt_resume["chain_ll"],
+                    pt_resume["chain_lp"],
+                )]
+                if rounds_done
+                else []
+            )
+            carry0 = (
+                jnp.asarray(pt_resume["z"]),
+                jnp.asarray(pt_resume["ll"]),
+                jnp.asarray(pt_resume["lp"]),
+                jnp.asarray(pt_resume["move_acc"]),
+                jnp.asarray(pt_resume["swap_acc"]),
+            )
+            new_evals = 0
+        else:
+            round_keys = jax.random.split(self.next_key(), n_rounds)
+            rounds_done = 0
+            chunks = []
+            carry0 = None  # built on device below
+            new_evals = n_temps * n_samples  # initialization pass
         if self.target_is_jittable():
 
             @jax.jit
-            def run_all(z, keys):
+            def init_carry(z):
                 if pt_constraint is not None:
                     z = jax.lax.with_sharding_constraint(
                         z, pt_constraint
                     )
                 ll, lp = initial_densities(z)
                 z, ll, lp = _pin(z, ll, lp)
-                acc0 = (
+                return (
+                    z,
+                    ll,
+                    lp,
                     jnp.zeros((n_temps,), z.dtype),
                     jnp.zeros((max(n_temps - 1, 0),), z.dtype),
                 )
-                (_, _, _, move_acc, swap_acc), outs = jax.lax.scan(
-                    one_round, (z, ll, lp, *acc0), keys
-                )
-                return outs, move_acc, swap_acc
 
-            (chain, chain_ll, chain_lp), move_acc, swap_acc = run_all(
-                z0, round_keys
-            )
+            @jax.jit
+            def run_rounds(carry, keys):
+                return jax.lax.scan(one_round, carry, keys)
+
+            carry = carry0 if carry0 is not None else init_carry(z0)
+            r = rounds_done
+            while r < n_rounds:
+                step = (
+                    n_rounds - r
+                    if save_every is None
+                    else min(save_every, n_rounds - r)
+                )
+                carry, outs = run_rounds(carry, round_keys[r:r + step])
+                chunks.append(tuple(np.asarray(o) for o in outs))
+                r += step
+                new_evals += step * swap_every * n_temps * n_samples
+                # Also saved on completion: resuming a finished run
+                # rebuilds the samples without redoing any rounds.
+                if save_every is not None:
+                    self.save_pt_state(
+                        checkpoint_file_path,
+                        betas=betas,
+                        round_keys=round_keys,
+                        rounds_done=r,
+                        swap_every=swap_every,
+                        n_steps=n_steps,
+                        n_samples=n_samples,
+                        carry=carry,
+                        chunks=chunks,
+                    )
+            chain = np.concatenate([c[0] for c in chunks], axis=0)
+            chain_ll = np.concatenate([c[1] for c in chunks], axis=0)
+            chain_lp = np.concatenate([c[2] for c in chunks], axis=0)
+            move_acc, swap_acc = carry[3], carry[4]
         else:
             # Host-target fallback: the user callable cannot be traced,
             # so no vmap/scan — plain Python loops calling the SAME
             # one_move / swap_pass math eagerly (identical key usage,
             # so the two paths draw the same random streams).
-            z, (ll, lp) = z0, initial_densities(z0)
-            move_acc = jnp.zeros((n_temps,), z.dtype)
-            swap_acc = jnp.zeros((max(n_temps - 1, 0),), z.dtype)
+            if carry0 is not None:
+                z, ll, lp, move_acc, swap_acc = carry0
+            else:
+                z, (ll, lp) = z0, initial_densities(z0)
+                move_acc = jnp.zeros((n_temps,), z.dtype)
+                swap_acc = jnp.zeros((max(n_temps - 1, 0),), z.dtype)
             outs = []
-            for key_round in round_keys:
+            for r in range(rounds_done, n_rounds):
+                key_round = round_keys[r]
                 step_key, even_key, odd_key = jax.random.split(
                     key_round, 3
                 )
@@ -1033,14 +1242,40 @@ class ParallelTemperedSampler(MCMCSampler):
                     z, ll, lp, swap_acc, odd_key, 1
                 )
                 outs.append((z, ll, lp))
-            chain = jnp.stack([o[0] for o in outs])
-            chain_ll = jnp.stack([o[1] for o in outs])
-            chain_lp = jnp.stack([o[2] for o in outs])
-        # One tempered-density pass per stretch move plus the single
-        # initialization pass — swaps reuse carried logL.
-        self.n_likelihood_evaluations += (
-            (n_rounds * swap_every + 1) * n_temps * n_samples
-        )
+                new_evals += swap_every * n_temps * n_samples
+                if save_every is not None and (
+                    (r + 1) % save_every == 0 or r + 1 == n_rounds
+                ):
+                    self.save_pt_state(
+                        checkpoint_file_path,
+                        betas=betas,
+                        round_keys=round_keys,
+                        rounds_done=r + 1,
+                        swap_every=swap_every,
+                        n_steps=n_steps,
+                        n_samples=n_samples,
+                        carry=(z, ll, lp, move_acc, swap_acc),
+                        chunks=chunks
+                        + [(
+                            np.stack([np.asarray(o[0]) for o in outs]),
+                            np.stack([np.asarray(o[1]) for o in outs]),
+                            np.stack([np.asarray(o[2]) for o in outs]),
+                        )],
+                    )
+            if outs:
+                chunks.append((
+                    np.stack([np.asarray(o[0]) for o in outs]),
+                    np.stack([np.asarray(o[1]) for o in outs]),
+                    np.stack([np.asarray(o[2]) for o in outs]),
+                ))
+            chain = np.concatenate([c[0] for c in chunks], axis=0)
+            chain_ll = np.concatenate([c[1] for c in chunks], axis=0)
+            chain_lp = np.concatenate([c[2] for c in chunks], axis=0)
+        # One tempered-density pass per stretch move plus (on a fresh
+        # start) the single initialization pass — swaps reuse carried
+        # logL, and a resume re-pays neither the finished rounds nor
+        # the initialization.
+        self.n_likelihood_evaluations += new_evals
 
         # chain: (n_rounds, T, n, d) -> (T, n_rounds, n, d)
         chain = jnp.moveaxis(chain, 1, 0)

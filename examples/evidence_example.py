@@ -10,7 +10,11 @@ mixture (analytic logZ):
    diagnostic recorded from the stored chains;
 3. ``n_replicates=5`` — five independent replicates whose between-run
    spread covers seed-dependent bias that no single-run estimator can
-   see (deliberately under-mixed 10-step MALA chains to show it).
+   see (deliberately under-mixed 10-step MALA chains to show it);
+4. an independent cross-check from a different estimator family:
+   parallel-tempered MCMC with the adaptive + pilot-refined ladder,
+   reporting the stepping-stone logZ and the per-rung swap-acceptance
+   diagnostics.
 """
 
 import os
@@ -100,4 +104,26 @@ print(
     f"(replicates: "
     f"{[round(float(v), 3) for v in post.log_evidence_replicates]}, "
     f"single-run rms bar {post.log_evidence_error_single:.4f})"
+)
+
+# 4. Cross-check from a different estimator family: PT-MCMC with the
+# adaptive CESS ladder plus one pilot refinement cycle. Stepping-stone
+# telescopes per-rung power ratios, so it stays sharp where the TI
+# integrand is steep; the swap-acceptance vector is the ladder-quality
+# diagnostic (a low pair = a tempering gap; the pilot tier inserts a
+# rung there automatically).
+pt = aspire.sample_posterior(
+    sampler="ptmcmc",
+    n_samples=512,
+    n_steps=300,
+    n_temperatures=10,
+    betas="adaptive",
+    swap_every=5,
+    ladder_pilot_steps=40,
+)
+lz_ss, err_ss = pt.log_evidence_stepping_stone()
+print(
+    f"PT stepping  : logZ = {lz_ss:.4f} +- {err_ss:.4f} "
+    f"({len(pt.betas)} rungs, swap acceptance "
+    f"{[round(float(v), 2) for v in pt.swap_acceptance]})"
 )

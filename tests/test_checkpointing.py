@@ -302,3 +302,88 @@ def test_mcmc_chain_checkpoint(tmp_path, initial_samples):
     )
     with h5py.File(off_path, "r") as f:
         assert "checkpoint/mcmc_chain" not in f
+
+
+def test_pt_midrun_checkpoint_resume(tmp_path, initial_samples):
+    """PT mid-run state checkpoints: a run killed between chunks and
+    resumed from the file reproduces the uninterrupted run exactly
+    (the full round-key array is saved, so the remaining PRNG stream
+    replays bit-identically)."""
+    import h5py
+
+    from aspire_tpu.samplers.mcmc import ParallelTemperedSampler
+
+    asp = make_aspire()
+    asp.fit(initial_samples, n_epochs=8, batch_size=256)
+
+    def pt(seed):
+        return asp.init_sampler("ptmcmc", preconditioning="none")
+
+    common = dict(
+        n_steps=24, n_temperatures=4, swap_every=4,
+    )
+    # Uninterrupted reference run (same facade-seeded sampler state).
+    ref = asp.init_sampler("ptmcmc", preconditioning="none").sample(
+        16, **common
+    )
+
+    # Chunked run: checkpoint every 2 rounds (6 rounds total).
+    path = tmp_path / "pt_state.h5"
+    s2 = asp.init_sampler("ptmcmc", preconditioning="none")
+    full = s2.sample(
+        16, **common,
+        checkpoint_file_path=str(path), checkpoint_every=2,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(full.x), np.asarray(ref.x)
+    )
+    with h5py.File(path, "r") as f:
+        assert int(f["checkpoint/pt_state"].attrs["rounds_done"]) == 6
+
+    # Genuine interruption: kill the run right after the round-2 state
+    # hits disk, then resume from that file — the result must be
+    # bit-identical to the uninterrupted run.
+    crash_path = tmp_path / "pt_crash.h5"
+    s3 = asp.init_sampler("ptmcmc", preconditioning="none")
+    real_save = s3.save_pt_state
+
+    class _Killed(RuntimeError):
+        pass
+
+    def crashing_save(file_path, **kw):
+        real_save(file_path, **kw)
+        if kw["rounds_done"] == 2:
+            raise _Killed()
+
+    s3.save_pt_state = crashing_save
+    with pytest.raises(_Killed):
+        s3.sample(
+            16, **common,
+            checkpoint_file_path=str(crash_path), checkpoint_every=2,
+        )
+    s3.save_pt_state = real_save
+    with h5py.File(crash_path, "r") as f:
+        assert int(f["checkpoint/pt_state"].attrs["rounds_done"]) == 2
+    resumed = s3.sample(16, **common, resume_from=str(crash_path))
+    np.testing.assert_array_equal(
+        np.asarray(resumed.x), np.asarray(ref.x)
+    )
+
+    # Resume from the COMPLETED state: no rounds re-run, identical
+    # samples out.
+    s4 = asp.init_sampler("ptmcmc", preconditioning="none")
+    full2 = s4.sample(
+        16, **common,
+        checkpoint_file_path=str(path), checkpoint_every=2,
+    )
+    evals_before = s4.n_likelihood_evaluations
+    again = s4.sample(16, **common, resume_from=str(path))
+    np.testing.assert_array_equal(
+        np.asarray(again.x), np.asarray(full2.x)
+    )
+    assert s4.n_likelihood_evaluations == evals_before
+
+    # Config mismatch raises.
+    with pytest.raises(ValueError, match="disagrees"):
+        s4.sample(16, n_steps=32, n_temperatures=4, swap_every=4,
+                  resume_from=str(path))
