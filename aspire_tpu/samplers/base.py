@@ -326,6 +326,11 @@ class Sampler:
     def backend_str(self) -> str:
         return "jax"
 
+    #: sample() kwargs scrubbed from recorded call configs: they point
+    #: at artifacts of a previous run (e.g. a resume file) that a
+    #: replayed call must not try to re-open.
+    _scrub_sample_kwargs: tuple = ("resume_from",)
+
     def config_dict(self, include_sample_calls: str | bool = "last") -> dict:
         config = {
             "class": type(self).__name__,
@@ -349,6 +354,16 @@ class Sampler:
                 }
             else:
                 config["sample_calls"] = history.to_dict()
+            kwargs = config["sample_calls"].get("kwargs")
+            scrub = self._scrub_sample_kwargs
+            if isinstance(kwargs, dict):
+                for key in scrub:
+                    kwargs.pop(key, None)
+            else:
+                for call in config["sample_calls"].values():
+                    if isinstance(call, dict):
+                        for key in scrub:
+                            call.get("kwargs", {}).pop(key, None)
         return config
 
     # -- checkpoint protocol (reference samplers/base.py:158-287) ----------

@@ -22,6 +22,7 @@ single XLA computation when the user target is jit-traceable.
 from __future__ import annotations
 
 import logging
+import os
 from functools import partial
 from typing import Callable
 
@@ -70,6 +71,13 @@ def _bisect_pt_beta(log_l, log_base, beta_prev, target, tol):
         return num - den >= log_target
 
     return K.monotone_beta_bisect(ok, beta_prev, tol, log_l.dtype)
+
+
+def _stack_rounds(outs):
+    """Stack per-round (z, logL, logPi) tuples into one host chunk."""
+    return tuple(
+        np.stack([np.asarray(o[i]) for o in outs]) for i in range(3)
+    )
 
 
 class MCMCSampler(Sampler):
@@ -633,6 +641,7 @@ class ParallelTemperedSampler(MCMCSampler):
         swap_every: int,
         n_steps: int,
         n_samples: int,
+        a: float,
         carry,
         chunks,
     ) -> None:
@@ -643,14 +652,23 @@ class ParallelTemperedSampler(MCMCSampler):
         outputs so far. The full round-key array is saved so a resumed
         run replays the exact remaining PRNG stream — a completed
         resume is bit-identical to the uninterrupted run.
+
+        Crash-safe: the state is written to a sibling group first and
+        swapped in with an HDF5 move, so a kill mid-save leaves either
+        the previous complete state or the new one (``load_pt_state``
+        checks both locations). Only process 0 writes on
+        multi-controller runs.
         """
+        if jax.process_index() != 0:
+            return
         from ..io import AspireFile
 
+        new_path = self.pt_state_path + "_new"
         z, ll, lp, move_acc, swap_acc = carry
         with AspireFile(file_path, "a") as f:
-            if self.pt_state_path in f:
-                del f[self.pt_state_path]
-            g = f.require_group(self.pt_state_path)
+            if new_path in f:
+                del f[new_path]
+            g = f.require_group(new_path)
             g.create_dataset("z", data=np.asarray(z))
             g.create_dataset("ll", data=np.asarray(ll))
             g.create_dataset("lp", data=np.asarray(lp))
@@ -673,33 +691,56 @@ class ParallelTemperedSampler(MCMCSampler):
             g.attrs["swap_every"] = int(swap_every)
             g.attrs["n_steps"] = int(n_steps)
             g.attrs["n_samples"] = int(n_samples)
+            g.attrs["a"] = float(a)
+            g.attrs["prng_impl"] = str(
+                jax.config.jax_default_prng_impl
+            )
+            # Swap the complete new state in (metadata-level move: the
+            # window with neither group present is tiny and covered by
+            # the _new fallback in load_pt_state).
+            if self.pt_state_path in f:
+                del f[self.pt_state_path]
+            f.move(new_path, self.pt_state_path)
 
     def load_pt_state(self, file_path: str) -> dict:
         import h5py
 
+        if not isinstance(file_path, (str, bytes, os.PathLike)):
+            raise TypeError(
+                "PT resume_from expects a checkpoint file path; got "
+                f"{type(file_path).__name__}."
+            )
         with h5py.File(file_path, "r") as f:
-            g = f[self.pt_state_path]
+            path = self.pt_state_path
+            if path not in f:
+                if self.pt_state_path + "_new" in f:
+                    # A save was killed between the delete and the
+                    # move; the staged group is complete.
+                    path = self.pt_state_path + "_new"
+                else:
+                    raise ValueError(
+                        f"{file_path!r} holds no resumable PT state "
+                        f"({self.pt_state_path} missing). Mid-run "
+                        "state checkpoints are written only when "
+                        "sample() ran with state_checkpoint_every > 0 "
+                        "and preconditioning=None."
+                    )
+            g = f[path]
             state = {k: np.asarray(g[k][()]) for k in g.keys()}
             state.update({k: g.attrs[k] for k in g.attrs.keys()})
+        saved_impl = str(state.get("prng_impl", "threefry2x32"))
+        current_impl = str(jax.config.jax_default_prng_impl)
+        if saved_impl != current_impl:
+            raise ValueError(
+                f"PT state was saved under PRNG impl {saved_impl!r} "
+                f"but this process uses {current_impl!r}; resuming "
+                "would not replay the saved key stream. Set "
+                "JAX_DEFAULT_PRNG_IMPL to match."
+            )
         state["round_keys"] = jax.random.wrap_key_data(
             jnp.asarray(state["round_keys"])
         )
         return state
-
-    def config_dict(self, include_sample_calls: str | bool = "last"):
-        # resume_from points at a file from a previous run; a replayed
-        # call must not try to re-open it (same scrub as the SMC
-        # sampler's config_dict).
-        config = super().config_dict(include_sample_calls)
-        if "sample_calls" in config:
-            kwargs = config["sample_calls"].get("kwargs")
-            if isinstance(kwargs, dict):
-                kwargs.pop("resume_from", None)
-            else:
-                for call in config["sample_calls"].values():
-                    if isinstance(call, dict):
-                        call.get("kwargs", {}).pop("resume_from", None)
-        return config
 
     @track_calls
     def sample(
@@ -719,10 +760,17 @@ class ParallelTemperedSampler(MCMCSampler):
         ladder_pilot_iterations: int = 1,
         checkpoint_file_path: str | None = None,
         checkpoint_every: int | None = None,
+        state_checkpoint_every: int | None = None,
         resume_from: str | None = None,
         _init_x: np.ndarray | None = None,
     ) -> PTMCMCSamples:
-        # No **kwargs — see PCNSampler.sample.
+        # No **kwargs — see PCNSampler.sample. checkpoint_every gates
+        # the FINAL chain save (reference semantics, as in the other
+        # MCMC samplers); state_checkpoint_every > 0 additionally
+        # chunks the run and saves a resumable mid-run state every k
+        # swap rounds — a separate knob because the facade defaults
+        # checkpoint_every=1, which must not silently break a
+        # 1000-round scan into 1000 dispatches.
         if n_steps < swap_every:
             raise ValueError(
                 f"n_steps ({n_steps}) must be at least swap_every "
@@ -740,6 +788,7 @@ class ParallelTemperedSampler(MCMCSampler):
                 "n_samples": (
                     int(pt_resume["n_samples"]), n_samples
                 ),
+                "a": (float(pt_resume.get("a", a)), float(a)),
             }
             bad = {k: v for k, v in mismatches.items() if v[0] != v[1]}
             if bad:
@@ -1106,16 +1155,17 @@ class ParallelTemperedSampler(MCMCSampler):
             )
 
         n_rounds = n_steps // swap_every
-        # Mid-run checkpointing: checkpoint_every > 0 chunks the run at
-        # round granularity and saves a resumable state after every
-        # chunk. Restricted to preconditioning=None (the saved states
-        # live in the transform's z-space, which a fresh refit would
-        # not reproduce).
+        # Mid-run checkpointing: state_checkpoint_every > 0 chunks the
+        # run at round granularity and saves a resumable state after
+        # every chunk. Restricted to preconditioning=None (the saved
+        # states live in the transform's z-space, which a fresh refit
+        # would not reproduce) and single-controller runs (one HDF5
+        # writer; the guard mirrors the device ladder's).
         save_every = None
         if (
             checkpoint_file_path is not None
-            and checkpoint_every
-            and int(checkpoint_every) > 0
+            and state_checkpoint_every
+            and int(state_checkpoint_every) > 0
         ):
             if self.preconditioning_transform is not None:
                 logger.warning(
@@ -1123,8 +1173,14 @@ class ParallelTemperedSampler(MCMCSampler):
                     "preconditioning=None; only the final chain will "
                     "be saved."
                 )
+            elif jax.process_count() > 1:
+                logger.warning(
+                    "Mid-run PT state checkpoints are single-"
+                    "controller only; only the final chain will be "
+                    "saved."
+                )
             else:
-                save_every = int(checkpoint_every)
+                save_every = int(state_checkpoint_every)
         if pt_resume is not None:
             round_keys = pt_resume["round_keys"]
             rounds_done = int(pt_resume["rounds_done"])
@@ -1169,40 +1225,69 @@ class ParallelTemperedSampler(MCMCSampler):
                     jnp.zeros((max(n_temps - 1, 0),), z.dtype),
                 )
 
-            @jax.jit
-            def run_rounds(carry, keys):
-                return jax.lax.scan(one_round, carry, keys)
-
-            carry = carry0 if carry0 is not None else init_carry(z0)
-            r = rounds_done
-            while r < n_rounds:
-                step = (
-                    n_rounds - r
-                    if save_every is None
-                    else min(save_every, n_rounds - r)
-                )
-                carry, outs = run_rounds(carry, round_keys[r:r + step])
-                chunks.append(tuple(np.asarray(o) for o in outs))
-                r += step
-                new_evals += step * swap_every * n_temps * n_samples
-                # Also saved on completion: resuming a finished run
-                # rebuilds the samples without redoing any rounds.
-                if save_every is not None:
-                    self.save_pt_state(
-                        checkpoint_file_path,
-                        betas=betas,
-                        round_keys=round_keys,
-                        rounds_done=r,
-                        swap_every=swap_every,
-                        n_steps=n_steps,
-                        n_samples=n_samples,
-                        carry=carry,
-                        chunks=chunks,
+            if save_every is None and pt_resume is None:
+                # Fast path: the whole run is ONE fused computation and
+                # the chain stays a (possibly sharded) device array —
+                # no host gather, works on multi-controller meshes.
+                @jax.jit
+                def run_all(z, keys):
+                    carry, outs = jax.lax.scan(
+                        one_round, init_carry(z), keys
                     )
-            chain = np.concatenate([c[0] for c in chunks], axis=0)
-            chain_ll = np.concatenate([c[1] for c in chunks], axis=0)
-            chain_lp = np.concatenate([c[2] for c in chunks], axis=0)
-            move_acc, swap_acc = carry[3], carry[4]
+                    return outs, carry[3], carry[4]
+
+                (chain, chain_ll, chain_lp), move_acc, swap_acc = (
+                    run_all(z0, round_keys)
+                )
+                new_evals += n_rounds * swap_every * n_temps * n_samples
+            else:
+                # Chunked path (mid-run state saves and/or resume):
+                # chunk boundaries gather to host for the HDF5 write.
+                @jax.jit
+                def run_rounds(carry, keys):
+                    return jax.lax.scan(one_round, carry, keys)
+
+                carry = carry0 if carry0 is not None else init_carry(z0)
+                r = rounds_done
+                while r < n_rounds:
+                    step = (
+                        n_rounds - r
+                        if save_every is None
+                        else min(save_every, n_rounds - r)
+                    )
+                    carry, outs = run_rounds(
+                        carry, round_keys[r:r + step]
+                    )
+                    chunks.append(tuple(np.asarray(o) for o in outs))
+                    r += step
+                    new_evals += (
+                        step * swap_every * n_temps * n_samples
+                    )
+                    # Also saved on completion: resuming a finished run
+                    # rebuilds the samples without redoing any rounds.
+                    if save_every is not None:
+                        self.save_pt_state(
+                            checkpoint_file_path,
+                            betas=betas,
+                            round_keys=round_keys,
+                            rounds_done=r,
+                            swap_every=swap_every,
+                            n_steps=n_steps,
+                            n_samples=n_samples,
+                            a=a,
+                            carry=carry,
+                            chunks=chunks,
+                        )
+                chain = np.concatenate(
+                    [c[0] for c in chunks], axis=0
+                )
+                chain_ll = np.concatenate(
+                    [c[1] for c in chunks], axis=0
+                )
+                chain_lp = np.concatenate(
+                    [c[2] for c in chunks], axis=0
+                )
+                move_acc, swap_acc = carry[3], carry[4]
         else:
             # Host-target fallback: the user callable cannot be traced,
             # so no vmap/scan — plain Python loops calling the SAME
@@ -1246,6 +1331,12 @@ class ParallelTemperedSampler(MCMCSampler):
                 if save_every is not None and (
                     (r + 1) % save_every == 0 or r + 1 == n_rounds
                 ):
+                    # Flush the pending rounds into a materialized
+                    # chunk so every save is incremental (restacking
+                    # the whole history at each boundary would be
+                    # O(n_rounds^2)).
+                    chunks.append(_stack_rounds(outs))
+                    outs = []
                     self.save_pt_state(
                         checkpoint_file_path,
                         betas=betas,
@@ -1254,20 +1345,12 @@ class ParallelTemperedSampler(MCMCSampler):
                         swap_every=swap_every,
                         n_steps=n_steps,
                         n_samples=n_samples,
+                        a=a,
                         carry=(z, ll, lp, move_acc, swap_acc),
-                        chunks=chunks
-                        + [(
-                            np.stack([np.asarray(o[0]) for o in outs]),
-                            np.stack([np.asarray(o[1]) for o in outs]),
-                            np.stack([np.asarray(o[2]) for o in outs]),
-                        )],
+                        chunks=chunks,
                     )
             if outs:
-                chunks.append((
-                    np.stack([np.asarray(o[0]) for o in outs]),
-                    np.stack([np.asarray(o[1]) for o in outs]),
-                    np.stack([np.asarray(o[2]) for o in outs]),
-                ))
+                chunks.append(_stack_rounds(outs))
             chain = np.concatenate([c[0] for c in chunks], axis=0)
             chain_ll = np.concatenate([c[1] for c in chunks], axis=0)
             chain_lp = np.concatenate([c[2] for c in chunks], axis=0)

@@ -1989,15 +1989,9 @@ class SMCSampler(Sampler):
     # -- config / checkpoint -------------------------------------------------
 
     def config_dict(self, include_sample_calls: str | bool = "last") -> dict:
+        # resume_from is scrubbed from recorded calls by the base class
+        # (Sampler._scrub_sample_kwargs).
         config = super().config_dict(include_sample_calls)
-        if "sample_calls" in config:
-            kwargs = config["sample_calls"].get("kwargs")
-            if isinstance(kwargs, dict):
-                kwargs.pop("resume_from", None)
-            else:
-                for call in config["sample_calls"].values():
-                    if isinstance(call, dict):
-                        call.get("kwargs", {}).pop("resume_from", None)
         config["resampling_method"] = self.resampling_method
         config["resampling_impl"] = self.resampling_impl
         return config

@@ -316,9 +316,6 @@ def test_pt_midrun_checkpoint_resume(tmp_path, initial_samples):
     asp = make_aspire()
     asp.fit(initial_samples, n_epochs=8, batch_size=256)
 
-    def pt(seed):
-        return asp.init_sampler("ptmcmc", preconditioning="none")
-
     common = dict(
         n_steps=24, n_temperatures=4, swap_every=4,
     )
@@ -332,7 +329,7 @@ def test_pt_midrun_checkpoint_resume(tmp_path, initial_samples):
     s2 = asp.init_sampler("ptmcmc", preconditioning="none")
     full = s2.sample(
         16, **common,
-        checkpoint_file_path=str(path), checkpoint_every=2,
+        checkpoint_file_path=str(path), state_checkpoint_every=2,
     )
     np.testing.assert_array_equal(
         np.asarray(full.x), np.asarray(ref.x)
@@ -359,7 +356,8 @@ def test_pt_midrun_checkpoint_resume(tmp_path, initial_samples):
     with pytest.raises(_Killed):
         s3.sample(
             16, **common,
-            checkpoint_file_path=str(crash_path), checkpoint_every=2,
+            checkpoint_file_path=str(crash_path),
+            state_checkpoint_every=2,
         )
     s3.save_pt_state = real_save
     with h5py.File(crash_path, "r") as f:
@@ -374,7 +372,7 @@ def test_pt_midrun_checkpoint_resume(tmp_path, initial_samples):
     s4 = asp.init_sampler("ptmcmc", preconditioning="none")
     full2 = s4.sample(
         16, **common,
-        checkpoint_file_path=str(path), checkpoint_every=2,
+        checkpoint_file_path=str(path), state_checkpoint_every=2,
     )
     evals_before = s4.n_likelihood_evaluations
     again = s4.sample(16, **common, resume_from=str(path))
