@@ -69,12 +69,14 @@ class ResumeState:
 
     ``state`` is the sampler checkpoint dict (samples, history, PRNG
     key, iteration, ...) exactly as ``Sampler.restore_from_checkpoint``
-    accepts it. The remaining fields steer the next call: which sampler
-    registry name to use, the originally requested ``n_samples``, and
-    any user overrides to merge into the ``sample()`` kwargs.
+    accepts it — or None for parallel-tempering runs, whose
+    ``resume_from`` file path rides in ``sample_overrides`` instead.
+    The remaining fields steer the next call: which sampler registry
+    name to use, the originally requested ``n_samples``, and any user
+    overrides to merge into the ``sample()`` kwargs.
     """
 
-    state: dict
+    state: dict | None
     sampler_type: str | None = None
     n_samples: int | None = None
     sample_overrides: dict = field(default_factory=dict)
@@ -121,6 +123,12 @@ class RunFile:
             self.has_flow = flow_group in f
             self.has_checkpoint = (
                 checkpoint_group in f and state_dset in f[checkpoint_group]
+            )
+            # Parallel-tempering runs persist a group-shaped state
+            # instead of the SMC state blob (mcmc.py pt_state_path).
+            self.has_pt_state = checkpoint_group in f and (
+                "pt_state" in f[checkpoint_group]
+                or "pt_state_new" in f[checkpoint_group]
             )
 
         # The sampler record may live embedded in the aspire config or
@@ -175,13 +183,58 @@ class RunFile:
             )
             return None
 
+    #: recorded sample() kwargs replayed when resuming a PT run — the
+    #: resume validates n_steps/swap_every/n_samples/a against the
+    #: file, so the replay makes a bare ``sample_posterior()`` after
+    #: ``resume_from_file`` just work.
+    _PT_RESUME_KWARGS = (
+        "n_steps",
+        "swap_every",
+        "a",
+        "n_temperatures",
+        "burn_in",
+        "thin",
+        "checkpoint_file_path",
+        "checkpoint_every",
+        "state_checkpoint_every",
+    )
+
     def resume_state(
         self,
         *,
         sampler: str | None = None,
         overrides: dict | None = None,
     ) -> ResumeState | None:
-        """Bundle the checkpoint into a :class:`ResumeState` (or None)."""
+        """Bundle the checkpoint into a :class:`ResumeState` (or None).
+
+        SMC runs resume from the decoded state blob; parallel-tempering
+        runs resume from the file path itself (the PT sampler's
+        ``resume_from`` contract) with the recorded sample kwargs
+        replayed so the continuation call needs no arguments.
+        """
+        kind = sampler or self.sampler_type
+        if self.has_pt_state and not self.has_checkpoint and kind in (
+            "ptmcmc",
+            "parallel_tempered",
+        ):
+            recorded: dict = {}
+            calls = (self.sampler_config or {}).get("sample_calls")
+            if isinstance(calls, dict) and isinstance(
+                calls.get("kwargs"), dict
+            ):
+                recorded = {
+                    k: v
+                    for k, v in calls["kwargs"].items()
+                    if k in self._PT_RESUME_KWARGS
+                }
+            recorded["resume_from"] = self.path
+            recorded.update(overrides or {})
+            return ResumeState(
+                state=None,
+                sampler_type=kind,
+                n_samples=self.recorded_n_samples(None),
+                sample_overrides=recorded,
+            )
         state = self.load_state()
         if state is None:
             return None

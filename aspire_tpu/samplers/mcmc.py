@@ -930,19 +930,20 @@ class ParallelTemperedSampler(MCMCSampler):
 
         if pt_resume is not None:
             # The carry (z, logL, logPi) is restored below; no initial
-            # draws (or their target evaluations) are needed. The
-            # preconditioning transform must still be rebuilt so the
-            # final chain inversion matches the saved z-space — refit
-            # on the restored cold-rung states is NOT valid (the saved
-            # z were produced under the ORIGINAL fit), so resume is
-            # restricted to runs without a preconditioning transform.
+            # draws (or their target evaluations) are needed. Mid-run
+            # states are only ever SAVED under preconditioning=None
+            # (see save gate below), so the saved z ARE x-space states:
+            # a transform configured on the resuming sampler (e.g. the
+            # facade's default) is provably not the one the run used —
+            # drop it rather than refit it into a mismatched z-space.
             if self.preconditioning_transform is not None:
-                raise ValueError(
-                    "PT resume_from does not support a preconditioning "
-                    "transform (the transform refit would not match "
-                    "the saved z-space states); run with "
-                    "preconditioning=None."
+                logger.warning(
+                    "PT resume: the checkpointed run used no "
+                    "preconditioning transform; discarding the "
+                    "configured one so the saved states keep their "
+                    "meaning."
                 )
+                self.preconditioning_transform = None
             z0 = None
         else:
             if _init_x is not None:

@@ -385,3 +385,39 @@ def test_pt_midrun_checkpoint_resume(tmp_path, initial_samples):
     with pytest.raises(ValueError, match="disagrees"):
         s4.sample(16, n_steps=32, n_temperatures=4, swap_every=4,
                   resume_from=str(path))
+
+
+def test_pt_facade_resume_from_file(tmp_path, initial_samples):
+    """Mode-1 resume works for PT runs: resume_from_file + a bare
+    sample_posterior() continues (here: rebuilds, the run completed)
+    the checkpointed PT run with its recorded configuration."""
+    path = tmp_path / "pt_run.h5"
+    asp = make_aspire()
+    asp.fit(initial_samples, n_epochs=8, batch_size=256)
+    post = asp.sample_posterior(
+        sampler="ptmcmc",
+        n_samples=16,
+        n_steps=24,
+        n_temperatures=4,
+        swap_every=4,
+        preconditioning="none",
+        state_checkpoint_every=2,
+        checkpoint_path=str(path),
+    )
+
+    asp2 = Aspire.resume_from_file(
+        str(path),
+        log_likelihood=log_likelihood,
+        log_prior=log_prior,
+    )
+    assert asp2._resume is not None
+    assert asp2._resume.sampler_type == "ptmcmc"
+    # No arguments: sampler type, n_samples, and the recorded PT
+    # kwargs all come from the file (the facade's default
+    # preconditioning is discarded with a warning on resume).
+    post2 = asp2.sample_posterior()
+    np.testing.assert_array_equal(
+        np.asarray(post2.x), np.asarray(post.x)
+    )
+    # The completed-state resume re-ran no chain rounds.
+    assert asp2.sampler.n_likelihood_evaluations == 0
