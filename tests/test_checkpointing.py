@@ -421,3 +421,61 @@ def test_pt_facade_resume_from_file(tmp_path, initial_samples):
     )
     # The completed-state resume re-ran no chain rounds.
     assert asp2.sampler.n_likelihood_evaluations == 0
+
+
+def test_pt_midrun_checkpoint_host_target(tmp_path, initial_samples):
+    """The host (non-jittable) PT path shares the state-checkpoint and
+    resume machinery: kill after the round-2 save, resume, and match
+    the uninterrupted host run exactly."""
+    import h5py
+
+    def host_ll(samples):
+        x = np.asarray(samples.x)
+        out = np.sum(
+            -0.5 * (x - 1.0) ** 2 - 0.5 * np.log(2 * np.pi), axis=-1
+        )
+        if out.shape[0] == 0:  # data-dependent branch: not traceable
+            raise RuntimeError
+        return out
+
+    asp = Aspire(
+        log_likelihood=host_ll,
+        log_prior=log_prior,
+        dims=DIMS,
+        parameters=[f"x_{i}" for i in range(DIMS)],
+        prior_bounds={f"x_{i}": [-10, 10] for i in range(DIMS)},
+        seed=0,
+    )
+    asp.fit(initial_samples, n_epochs=6, batch_size=256)
+    common = dict(n_steps=12, n_temperatures=3, swap_every=3)
+
+    ref = asp.init_sampler("ptmcmc", preconditioning="none").sample(
+        8, **common
+    )
+
+    path = tmp_path / "pt_host.h5"
+    s2 = asp.init_sampler("ptmcmc", preconditioning="none")
+    assert not s2.target_is_jittable()
+    real_save = s2.save_pt_state
+
+    class _Killed(RuntimeError):
+        pass
+
+    def crashing_save(file_path, **kw):
+        real_save(file_path, **kw)
+        if kw["rounds_done"] == 2:
+            raise _Killed()
+
+    s2.save_pt_state = crashing_save
+    with pytest.raises(_Killed):
+        s2.sample(
+            8, **common,
+            checkpoint_file_path=str(path), state_checkpoint_every=2,
+        )
+    s2.save_pt_state = real_save
+    with h5py.File(path, "r") as f:
+        assert int(f["checkpoint/pt_state"].attrs["rounds_done"]) == 2
+    resumed = s2.sample(8, **common, resume_from=str(path))
+    np.testing.assert_array_equal(
+        np.asarray(resumed.x), np.asarray(ref.x)
+    )
