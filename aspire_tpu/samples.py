@@ -666,6 +666,12 @@ class PTMCMCSamples(MCMCSamples):
     """
 
     betas: Array | None = None
+    #: per-rung stretch-move acceptance rate, shape (T,) — dataclass
+    #: fields (not ad-hoc attributes) so they ride through
+    #: to_dict/save/load with the chain.
+    move_acceptance: Array | None = None
+    #: per-adjacent-pair DEO swap acceptance rate, shape (T-1,)
+    swap_acceptance: Array | None = None
 
     def __post_init__(self):
         super().__post_init__()
@@ -733,6 +739,10 @@ class PTMCMCSamples(MCMCSamples):
             burn_in=burn_in,
             thin=thin,
             betas=self.betas,
+            # Run-level diagnostics ride along unchanged: they describe
+            # the chains that PRODUCED these samples.
+            move_acceptance=self.move_acceptance,
+            swap_acceptance=self.swap_acceptance,
         )
 
     def compute_autocorrelation_time(self, c: float = 5.0) -> Array:
@@ -824,6 +834,8 @@ class PTMCMCSamples(MCMCSamples):
             burn_in=self.burn_in,
             thin=self.thin,
             betas=self.betas,
+            move_acceptance=self.move_acceptance,
+            swap_acceptance=self.swap_acceptance,
         )
 
     def _ladder_logl(

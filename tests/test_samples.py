@@ -537,3 +537,40 @@ def test_samples_str_without_error_bar(rng):
         log_evidence=-5.0,
     )
     assert "Log evidence: -5.00" in str(s)
+
+
+class TestPTDiagnosticsPersistence:
+    def test_acceptance_fields_roundtrip(self, rng, tmp_path):
+        """move/swap acceptance are dataclass fields: they survive
+        to_dict/save/load and ride through post_process/subsample."""
+        import h5py
+
+        n_temps, n_steps, n_walkers, d = 3, 10, 4, 2
+        chain = rng.normal(size=(n_temps, n_steps, n_walkers, d))
+        s = PTMCMCSamples(
+            x=chain.reshape(-1, d),
+            chain_shape=(n_temps, n_steps, n_walkers),
+            betas=np.linspace(1, 0, n_temps),
+            move_acceptance=np.array([0.4, 0.5, 0.6]),
+            swap_acceptance=np.array([0.2, 0.9]),
+        )
+        with h5py.File(tmp_path / "pt.h5", "w") as f:
+            s.save(f, "pt")
+        with h5py.File(tmp_path / "pt.h5", "r") as f:
+            loaded = PTMCMCSamples.load(f, "pt")
+        np.testing.assert_allclose(
+            loaded.move_acceptance, s.move_acceptance
+        )
+        np.testing.assert_allclose(
+            loaded.swap_acceptance, s.swap_acceptance
+        )
+        np.testing.assert_allclose(loaded.betas, s.betas)
+
+        thinned = s.post_process(burn_in=2, thin=2)
+        np.testing.assert_allclose(
+            thinned.swap_acceptance, s.swap_acceptance
+        )
+        sub = s.subsample(5, rng=rng)
+        np.testing.assert_allclose(
+            sub.move_acceptance, s.move_acceptance
+        )
