@@ -628,6 +628,52 @@ class ParallelTemperedSampler(MCMCSampler):
                 del ladder[drop]
         return np.asarray(ladder[::-1], dtype=float)
 
+    def _sample_replicated(
+        self, k: int, n_samples: int, kwargs: dict
+    ) -> PTMCMCSamples:
+        """Run ``k`` independent PT replicates; report the replicate
+        mean stepping-stone logZ with the between-replicate bar.
+
+        Each replicate continues the sampler's key stream (independent
+        draws) and re-runs any ladder adaptation from scratch, so the
+        replicates are fully independent — including the ladder. The
+        reported error follows the SMC replicate tier's consistency
+        scaling: ``std/sqrt(k)`` when the replicates agree with their
+        own single-run bars, the un-shrunk dispersion when they
+        scatter beyond them (shared systematics).
+        """
+        logzs, errs = [], []
+        result = None
+        for r in range(k):
+            logger.info("PT replicate %d/%d", r + 1, k)
+            s = self.sample(n_samples, **kwargs)
+            lz, err = s.log_evidence_stepping_stone()
+            logzs.append(float(lz))
+            errs.append(float(err))
+            result = s
+        import math
+
+        between_sd = float(np.std(logzs, ddof=1))
+        single_rms = float(np.sqrt(np.mean(np.square(errs))))
+        consistent = between_sd <= 1.5 * single_rms
+        between = (
+            between_sd / math.sqrt(k) if consistent else between_sd
+        )
+        single = single_rms / math.sqrt(k)
+        result.log_evidence = float(np.mean(logzs))
+        result.log_evidence_error = max(between, single)
+        result.log_evidence_replicates = np.asarray(logzs)
+        result.log_evidence_error_single = single_rms
+        logger.info(
+            "Replicated PT log evidence (stepping-stone): %.3f +/- "
+            "%.3f (between-run %.3f, single-run rms %.3f)",
+            result.log_evidence,
+            result.log_evidence_error,
+            between,
+            single_rms,
+        )
+        return result
+
     #: HDF5 group holding the resumable mid-run PT state.
     pt_state_path = "checkpoint/pt_state"
 
@@ -762,6 +808,7 @@ class ParallelTemperedSampler(MCMCSampler):
         checkpoint_every: int | None = None,
         state_checkpoint_every: int | None = None,
         resume_from: str | None = None,
+        n_replicates: int | None = None,
         _init_x: np.ndarray | None = None,
     ) -> PTMCMCSamples:
         # No **kwargs — see PCNSampler.sample. checkpoint_every gates
@@ -776,6 +823,37 @@ class ParallelTemperedSampler(MCMCSampler):
                 f"n_steps ({n_steps}) must be at least swap_every "
                 f"({swap_every}) — fewer steps than one swap round "
                 "would run no rounds at all."
+            )
+        if n_replicates is not None and n_replicates > 1:
+            # Same replicate tier (and consistency-scaled bar) as the
+            # SMC sampler: between-run stepping-stone spread covers
+            # seed-dependent bias no single-run bar can see.
+            if (
+                resume_from is not None
+                or checkpoint_file_path is not None
+            ):
+                raise ValueError(
+                    "n_replicates runs independent replicates; combine "
+                    "it with checkpointing/resume per replicate "
+                    "manually instead."
+                )
+            return self._sample_replicated(
+                n_replicates,
+                n_samples,
+                dict(
+                    n_steps=n_steps,
+                    n_temperatures=n_temperatures,
+                    betas=betas,
+                    swap_every=swap_every,
+                    a=a,
+                    burn_in=burn_in,
+                    thin=thin,
+                    ladder_target_efficiency=ladder_target_efficiency,
+                    max_n_temperatures=max_n_temperatures,
+                    ladder_probe_size=ladder_probe_size,
+                    ladder_pilot_steps=ladder_pilot_steps,
+                    ladder_pilot_iterations=ladder_pilot_iterations,
+                ),
             )
         pt_resume = None
         if resume_from is not None:

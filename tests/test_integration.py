@@ -157,6 +157,31 @@ def test_ptmcmc_evidence(fitted_aspire):
     assert np.all(samples.swap_acceptance <= 1.0)
 
 
+def test_ptmcmc_replicates(fitted_aspire):
+    """The PT replicate tier mirrors SMC's: k independent runs, mean
+    stepping-stone logZ, consistency-scaled between-run bar."""
+    samples = fitted_aspire.sample_posterior(
+        n_samples=32,
+        sampler="ptmcmc",
+        n_steps=60,
+        n_temperatures=6,
+        swap_every=5,
+        n_replicates=3,
+    )
+    assert samples.log_evidence_replicates.shape == (3,)
+    assert samples.log_evidence == pytest.approx(
+        np.mean(samples.log_evidence_replicates)
+    )
+    assert samples.log_evidence == pytest.approx(TRUE_LOG_Z, abs=1.0)
+    assert samples.log_evidence_error > 0.0
+    # Checkpointing composes per replicate only.
+    with pytest.raises(ValueError, match="replicate"):
+        fitted_aspire.sampler.sample(
+            16, n_steps=10, n_replicates=2,
+            checkpoint_file_path="/tmp/never.h5",
+        )
+
+
 def test_ptmcmc_adaptive_ladder(fitted_aspire):
     """CESS-placed rungs (betas='adaptive') run end-to-end and keep
     evidence parity; n_temperatures acts as the rung-density floor."""
