@@ -973,6 +973,51 @@ class PTMCMCSamples(MCMCSamples):
         axes[-1].set_xlabel("step")
         return fig
 
+    def plot_ladder(self, swap_floor: float = 0.15):
+        """Ladder-quality diagnostics: rung placement and acceptance.
+
+        Top panel: per-adjacent-pair DEO swap acceptance at the pair
+        midpoint (the tempering-gap diagnostic — pairs under
+        ``swap_floor`` are flagged). Bottom panel: per-rung stretch-move
+        acceptance. Rung positions are drawn as ticks on both.
+        Requires the acceptance diagnostics the sampler records
+        (``move_acceptance``/``swap_acceptance``).
+        """
+        import matplotlib.pyplot as plt
+
+        if self.betas is None or self.swap_acceptance is None:
+            raise ValueError(
+                "plot_ladder needs betas and the recorded acceptance "
+                "diagnostics (run the PT sampler to get them)."
+            )
+        betas = np.asarray(self.betas, dtype=float)
+        swap = np.asarray(self.swap_acceptance, dtype=float)
+        move = np.asarray(self.move_acceptance, dtype=float)
+        mids = 0.5 * (betas[:-1] + betas[1:])
+        fig, (ax_swap, ax_move) = plt.subplots(
+            2, 1, sharex=True, figsize=(8, 5)
+        )
+        low = swap < swap_floor
+        ax_swap.plot(mids, swap, "o-", color="C0")
+        if low.any():
+            ax_swap.plot(
+                mids[low], swap[low], "o", color="C3",
+                label=f"below floor ({swap_floor})",
+            )
+            ax_swap.legend()
+        ax_swap.axhline(swap_floor, color="C3", ls="--", lw=0.8)
+        ax_swap.set_ylabel("swap acceptance")
+        ax_swap.set_ylim(0, 1.05)
+        ax_move.plot(betas, move, "s-", color="C1")
+        ax_move.set_ylabel("move acceptance")
+        ax_move.set_ylim(0, 1.05)
+        ax_move.set_xlabel(r"inverse temperature $\beta$")
+        for ax in (ax_swap, ax_move):
+            for b in betas:
+                ax.axvline(b, color="0.85", lw=0.5, zorder=0)
+        fig.tight_layout()
+        return fig
+
 
 @dataclass
 class SMCSamples(BaseSamples):

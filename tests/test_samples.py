@@ -574,3 +574,27 @@ class TestPTDiagnosticsPersistence:
         np.testing.assert_allclose(
             sub.move_acceptance, s.move_acceptance
         )
+
+    def test_plot_ladder(self, rng, tmp_path):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        n_temps, n_steps, n_walkers, d = 4, 10, 4, 2
+        chain = rng.normal(size=(n_temps, n_steps, n_walkers, d))
+        s = PTMCMCSamples(
+            x=chain.reshape(-1, d),
+            chain_shape=(n_temps, n_steps, n_walkers),
+            betas=np.asarray([1.0, 0.5, 0.2, 0.0]),
+            move_acceptance=np.array([0.4, 0.5, 0.6, 0.7]),
+            swap_acceptance=np.array([0.6, 0.05, 0.8]),
+        )
+        fig = s.plot_ladder()
+        assert len(fig.axes) == 2
+        plt.close(fig)
+        s.swap_acceptance = None
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="diagnostics"):
+            s.plot_ladder()
