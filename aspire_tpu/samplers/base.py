@@ -95,6 +95,11 @@ class Sampler:
         self.n_likelihood_evaluations = 0
         self.key = _as_key(rng)
         self.mesh = mesh
+        # Phase wall-clock accumulator (§5 observability); SMC
+        # re-assigns its own but every sampler gets one.
+        from ..profiling import Profiler
+
+        self.profiler = Profiler()
         self._call_history: dict[str, CallHistory] = {}
         self._jittable_target: bool | None = None
 

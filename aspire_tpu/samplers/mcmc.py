@@ -711,7 +711,9 @@ class ParallelTemperedSampler(MCMCSampler):
 
         new_path = self.pt_state_path + "_new"
         z, ll, lp, move_acc, swap_acc = carry
-        with AspireFile(file_path, "a") as f:
+        with self.profiler.phase("pt/checkpoint"), AspireFile(
+            file_path, "a"
+        ) as f:
             if new_path in f:
                 del f[new_path]
             g = f.require_group(new_path)
@@ -898,17 +900,19 @@ class ParallelTemperedSampler(MCMCSampler):
             # The probe is recycled as chain-initial populations below
             # (pilot rungs first, then the main run's cold rung), so
             # its target evaluations are not wasted.
-            probe_full = self.draw_initial_samples(
-                max(n_samples, ladder_probe_size)
-            )
-            betas = self.adaptive_beta_ladder(
-                probe_full,
-                target_efficiency=ladder_target_efficiency,
-                max_n_temperatures=max_n_temperatures,
-                # n_temperatures doubles as the floor: TI quadrature
-                # needs rung density even when overlap does not.
-                min_n_temperatures=n_temperatures,
-            )
+            with self.profiler.phase("pt/adapt_ladder"):
+                probe_full = self.draw_initial_samples(
+                    max(n_samples, ladder_probe_size)
+                )
+                betas = self.adaptive_beta_ladder(
+                    probe_full,
+                    target_efficiency=ladder_target_efficiency,
+                    max_n_temperatures=max_n_temperatures,
+                    # n_temperatures doubles as the floor: TI
+                    # quadrature needs rung density even when overlap
+                    # does not.
+                    min_n_temperatures=n_temperatures,
+                )
             probe = probe_full[:n_samples]
         elif betas is None:
             # Geometric ladder beta_t = (1/2)^t, hottest forced to 0 for
@@ -955,15 +959,16 @@ class ParallelTemperedSampler(MCMCSampler):
                 )
             pilot_init = probe_x[:need]
             for pilot_round in range(max(ladder_pilot_iterations, 1)):
-                pilot = ParallelTemperedSampler.sample.__wrapped__(
-                    self,
-                    n_samples,
-                    n_steps=ladder_pilot_steps,
-                    betas=np.asarray(betas),
-                    swap_every=min(swap_every, ladder_pilot_steps),
-                    a=a,
-                    _init_x=pilot_init,
-                )
+                with self.profiler.phase("pt/pilot"):
+                    pilot = ParallelTemperedSampler.sample.__wrapped__(
+                        self,
+                        n_samples,
+                        n_steps=ladder_pilot_steps,
+                        betas=np.asarray(betas),
+                        swap_every=min(swap_every, ladder_pilot_steps),
+                        a=a,
+                        _init_x=pilot_init,
+                    )
                 pilot_betas = np.asarray(pilot.betas, dtype=float)
                 refined = self.refine_ladder_from_run(
                     pilot,
@@ -1315,9 +1320,10 @@ class ParallelTemperedSampler(MCMCSampler):
                     )
                     return outs, carry[3], carry[4]
 
-                (chain, chain_ll, chain_lp), move_acc, swap_acc = (
-                    run_all(z0, round_keys)
-                )
+                with self.profiler.phase("pt/rounds"):
+                    (chain, chain_ll, chain_lp), move_acc, swap_acc = (
+                        run_all(z0, round_keys)
+                    )
                 new_evals += n_rounds * swap_every * n_temps * n_samples
             else:
                 # Chunked path (mid-run state saves and/or resume):
@@ -1334,9 +1340,10 @@ class ParallelTemperedSampler(MCMCSampler):
                         if save_every is None
                         else min(save_every, n_rounds - r)
                     )
-                    carry, outs = run_rounds(
-                        carry, round_keys[r:r + step]
-                    )
+                    with self.profiler.phase("pt/rounds"):
+                        carry, outs = run_rounds(
+                            carry, round_keys[r:r + step]
+                        )
                     chunks.append(tuple(np.asarray(o) for o in outs))
                     r += step
                     new_evals += (
