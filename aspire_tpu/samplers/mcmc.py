@@ -859,6 +859,11 @@ class ParallelTemperedSampler(MCMCSampler):
             )
         pt_resume = None
         if resume_from is not None:
+            if jax.process_count() > 1:
+                raise ValueError(
+                    "PT resume_from is single-controller only (the "
+                    "chunked resume path gathers chains to host)."
+                )
             pt_resume = self.load_pt_state(resume_from)
             mismatches = {
                 "n_steps": (int(pt_resume["n_steps"]), n_steps),
@@ -1325,6 +1330,21 @@ class ParallelTemperedSampler(MCMCSampler):
                         run_all(z0, round_keys)
                     )
                 new_evals += n_rounds * swap_every * n_temps * n_samples
+                if jax.process_count() > 1:
+                    # Multi-controller: the walker-sharded outputs span
+                    # non-addressable devices, but everything
+                    # downstream (evidence estimators, burn-in/thin,
+                    # cold-chain extraction) is host numpy. Gather the
+                    # global chain to every host — PT walker counts are
+                    # modest, so the (rounds, T, n, d) array is small
+                    # next to an SMC population.
+                    from jax.experimental import multihost_utils
+
+                    chain, chain_ll, chain_lp = (
+                        multihost_utils.process_allgather(
+                            (chain, chain_ll, chain_lp), tiled=True
+                        )
+                    )
             else:
                 # Chunked path (mid-run state saves and/or resume):
                 # chunk boundaries gather to host for the HDF5 write.

@@ -69,6 +69,8 @@ def spawn(args) -> int:
     cmd_base += ["--workdir", args.workdir or tempfile.mkdtemp()]
     if not args.checkpoint_drill:
         cmd_base += ["--no-checkpoint-drill"]
+    if not args.pt_drill:
+        cmd_base += ["--no-pt-drill"]
     procs = [
         subprocess.Popen(
             cmd_base + ["--process-id", str(i)],
@@ -207,6 +209,37 @@ def worker(args) -> int:
         checkpoint_barrier("multihost-drill-done")
         drill = "ok"
 
+    # -- sharded parallel-tempering drill ------------------------------
+    # Walker axis P(None, 'data') across every process; the evidence
+    # estimators run on the process_allgather'ed chain. Small fixed
+    # shapes: this validates the multi-controller PT path end-to-end,
+    # not its throughput.
+    pt_drill = "skipped"
+    pt_log_z = None
+    if args.pt_drill:
+        from aspire_tpu.samplers import ParallelTemperedSampler
+
+        pt = ParallelTemperedSampler(
+            log_likelihood=problem.log_likelihood,
+            log_prior=problem.log_prior,
+            dims=dims,
+            prior_flow=flow,
+            parameters=problem.parameters,
+            rng=jax.random.key(13),
+            mesh=mesh,
+        )
+        pt_post = pt.sample(
+            max(8 * n_dev, 16),
+            n_steps=12,
+            n_temperatures=4,
+            swap_every=4,
+        )
+        pt_log_z, pt_err = pt_post.log_evidence_stepping_stone()
+        assert np.isfinite(pt_log_z), "PT stepping-stone logZ not finite"
+        assert pt_post.swap_acceptance.shape == (3,)
+        checkpoint_barrier("multihost-pt-drill-done")
+        pt_drill = "ok"
+
     def comp(mu, var):
         return (
             -0.5 * dims * np.log(2 * np.pi * (1 + var))
@@ -235,6 +268,10 @@ def worker(args) -> int:
         "log_z_err": float(out.log_evidence_error),
         "true_log_z": true,
         "checkpoint_drill": drill,
+        "pt_drill": pt_drill,
+        "pt_log_z": (
+            float(pt_log_z) if pt_log_z is not None else None
+        ),
     }
     if pid == 0:
         line = json.dumps(result)
@@ -283,6 +320,10 @@ def main() -> None:
     parser.add_argument("--output", default=None)
     parser.add_argument("--no-checkpoint-drill", dest="checkpoint_drill",
                         action="store_false")
+    parser.add_argument("--no-pt-drill", dest="pt_drill",
+                        action="store_false",
+                        help="skip the sharded parallel-tempering "
+                        "validation leg")
     args = parser.parse_args()
     if args.spawn:
         sys.exit(spawn(args))
