@@ -474,12 +474,19 @@ class Aspire:
             else:
                 kwargs.setdefault("checkpoint_file_path", checkpoint_path)
                 kwargs.setdefault("checkpoint_every", checkpoint_every)
-            # The flow goes into the file BEFORE sampling so an
-            # interrupted run still resumes with its proposal.
-            if self.flow is not None and (
-                not on_policy_file or policy.owes("flow")
-            ):
-                with AspireFile(checkpoint_path, "a") as h5_file:
+            # The flow AND the aspire config go into the file BEFORE
+            # sampling so a run killed mid-flight still resumes with
+            # its proposal and can rebuild the orchestrator
+            # (resume_from_file needs the config; the post-sample
+            # write below refreshes both with run outcomes).
+            with AspireFile(checkpoint_path, "a") as h5_file:
+                if checkpoint_save_config and (
+                    "aspire_config" not in h5_file
+                ):
+                    self.save_config(h5_file, "aspire_config")
+                if self.flow is not None and (
+                    not on_policy_file or policy.owes("flow")
+                ):
                     if "flow" not in h5_file:
                         self.save_flow(h5_file)
                     if on_policy_file:

@@ -126,10 +126,17 @@ class RunFile:
             )
             # Parallel-tempering runs persist a group-shaped state
             # instead of the SMC state blob (mcmc.py pt_state_path).
-            self.has_pt_state = checkpoint_group in f and (
-                "pt_state" in f[checkpoint_group]
-                or "pt_state_new" in f[checkpoint_group]
-            )
+            # Its small attrs are read eagerly: a run killed mid-flight
+            # has NO sampler record yet (the facade writes it after
+            # sample() returns), so these attrs are the only source of
+            # the continuation kwargs on genuine crash recovery.
+            self.pt_state_attrs: dict | None = None
+            for pt_name in ("pt_state", "pt_state_new"):
+                group = f"{checkpoint_group}/{pt_name}"
+                if group in f:
+                    self.pt_state_attrs = dict(f[group].attrs)
+                    break
+            self.has_pt_state = self.pt_state_attrs is not None
 
         # The sampler record may live embedded in the aspire config or
         # as its own group; an embedded record wins because it was
@@ -214,25 +221,45 @@ class RunFile:
         """
         kind = sampler or self.sampler_type
         if self.has_pt_state and not self.has_checkpoint and kind in (
+            # kind None: the run was killed before the facade's
+            # post-sample sampler record was written — the PT state
+            # group itself identifies the sampler.
+            None,
             "ptmcmc",
             "parallel_tempered",
         ):
+            # Continuation kwargs: the recorded sample call when the
+            # run completed at least once, else the validated attrs
+            # the PT state itself carries (crash recovery).
             recorded: dict = {}
+            for k, v in (self.pt_state_attrs or {}).items():
+                if k not in ("n_steps", "swap_every", "a"):
+                    continue
+                # numpy attr scalars -> Python scalars (a np.float64
+                # `a` would strong-type the stretch proposal to f64).
+                recorded[k] = (
+                    float(v) if k == "a" else int(v)
+                )
             calls = (self.sampler_config or {}).get("sample_calls")
             if isinstance(calls, dict) and isinstance(
                 calls.get("kwargs"), dict
             ):
-                recorded = {
-                    k: v
-                    for k, v in calls["kwargs"].items()
-                    if k in self._PT_RESUME_KWARGS
-                }
+                recorded.update(
+                    {
+                        k: v
+                        for k, v in calls["kwargs"].items()
+                        if k in self._PT_RESUME_KWARGS
+                    }
+                )
             recorded["resume_from"] = self.path
             recorded.update(overrides or {})
+            n_req = self.recorded_n_samples(None)
+            if n_req is None:
+                n_req = int((self.pt_state_attrs or {})["n_samples"])
             return ResumeState(
                 state=None,
-                sampler_type=kind,
-                n_samples=self.recorded_n_samples(None),
+                sampler_type=kind or "ptmcmc",
+                n_samples=n_req,
                 sample_overrides=recorded,
             )
         state = self.load_state()

@@ -371,6 +371,53 @@ class Sampler:
                             call.get("kwargs", {}).pop(key, None)
         return config
 
+    # -- replicated evidence tier -------------------------------------------
+
+    def _replicate_evidence(self, k: int, run_one, label: str):
+        """Shared replicate statistics for the ``n_replicates`` tier.
+
+        ``run_one()`` runs one replicate and returns
+        ``(samples, logz, err)``. Reports the replicate mean with the
+        PDG-style consistency-scaled bar: ``std/sqrt(k)`` when the
+        between-replicate spread agrees with the single-run bars, the
+        un-shrunk dispersion when the replicates scatter beyond them
+        (shared systematics — e.g. every short chain collapses modes a
+        little differently around a common bias). Used by both the SMC
+        and PT samplers so the two tiers cannot drift apart.
+        """
+        import math
+
+        import numpy as np
+
+        logzs, errs = [], []
+        result = None
+        for r in range(k):
+            logger.info("%s replicate %d/%d", label, r + 1, k)
+            result, lz, err = run_one()
+            logzs.append(float(lz))
+            errs.append(float(err))
+        between_sd = float(np.std(logzs, ddof=1))
+        single_rms = float(np.sqrt(np.mean(np.square(errs))))
+        consistent = between_sd <= 1.5 * single_rms
+        between = (
+            between_sd / math.sqrt(k) if consistent else between_sd
+        )
+        single = single_rms / math.sqrt(k)
+        result.log_evidence = float(np.mean(logzs))
+        result.log_evidence_error = max(between, single)
+        result.log_evidence_replicates = np.asarray(logzs)
+        result.log_evidence_error_single = single_rms
+        logger.info(
+            "Replicated %s log evidence: %.3f +/- %.3f (between-run "
+            "%.3f, single-run rms %.3f)",
+            label,
+            result.log_evidence,
+            result.log_evidence_error,
+            between,
+            single_rms,
+        )
+        return result
+
     # -- checkpoint protocol (reference samplers/base.py:158-287) ----------
 
     #: Array fields of the samples object that are checkpointed

@@ -642,37 +642,12 @@ class ParallelTemperedSampler(MCMCSampler):
         own single-run bars, the un-shrunk dispersion when they
         scatter beyond them (shared systematics).
         """
-        logzs, errs = [], []
-        result = None
-        for r in range(k):
-            logger.info("PT replicate %d/%d", r + 1, k)
+        def run_one():
             s = self.sample(n_samples, **kwargs)
             lz, err = s.log_evidence_stepping_stone()
-            logzs.append(float(lz))
-            errs.append(float(err))
-            result = s
-        import math
+            return s, lz, err
 
-        between_sd = float(np.std(logzs, ddof=1))
-        single_rms = float(np.sqrt(np.mean(np.square(errs))))
-        consistent = between_sd <= 1.5 * single_rms
-        between = (
-            between_sd / math.sqrt(k) if consistent else between_sd
-        )
-        single = single_rms / math.sqrt(k)
-        result.log_evidence = float(np.mean(logzs))
-        result.log_evidence_error = max(between, single)
-        result.log_evidence_replicates = np.asarray(logzs)
-        result.log_evidence_error_single = single_rms
-        logger.info(
-            "Replicated PT log evidence (stepping-stone): %.3f +/- "
-            "%.3f (between-run %.3f, single-run rms %.3f)",
-            result.log_evidence,
-            result.log_evidence_error,
-            between,
-            single_rms,
-        )
-        return result
+        return self._replicate_evidence(k, run_one, "PT stepping-stone")
 
     #: HDF5 group holding the resumable mid-run PT state.
     pt_state_path = "checkpoint/pt_state"
@@ -775,7 +750,17 @@ class ParallelTemperedSampler(MCMCSampler):
                     )
             g = f[path]
             state = {k: np.asarray(g[k][()]) for k in g.keys()}
-            state.update({k: g.attrs[k] for k in g.attrs.keys()})
+            # Attrs come back as numpy scalars; coerce to Python
+            # scalars — a strongly-typed np.float64 `a` would promote
+            # the whole stretch proposal to f64 under x64 and trip the
+            # f64->f32 scatter cast.
+            for k in g.attrs.keys():
+                v = g.attrs[k]
+                if isinstance(v, np.floating):
+                    v = float(v)
+                elif isinstance(v, np.integer):
+                    v = int(v)
+                state[k] = v
         saved_impl = str(state.get("prng_impl", "threefry2x32"))
         current_impl = str(jax.config.jax_default_prng_impl)
         if saved_impl != current_impl:
@@ -1016,6 +1001,10 @@ class ParallelTemperedSampler(MCMCSampler):
         n_temps = len(betas)
         betas_arr = jnp.asarray(betas)
 
+        # The transform actually used by THIS run: a local, never a
+        # mutation of sampler state (the facade caches and reuses the
+        # sampler instance across calls).
+        precond = self.preconditioning_transform
         if pt_resume is not None:
             # The carry (z, logL, logPi) is restored below; no initial
             # draws (or their target evaluations) are needed. Mid-run
@@ -1023,15 +1012,16 @@ class ParallelTemperedSampler(MCMCSampler):
             # (see save gate below), so the saved z ARE x-space states:
             # a transform configured on the resuming sampler (e.g. the
             # facade's default) is provably not the one the run used —
-            # drop it rather than refit it into a mismatched z-space.
-            if self.preconditioning_transform is not None:
+            # ignore it for this call rather than refit it into a
+            # mismatched z-space.
+            if precond is not None:
                 logger.warning(
                     "PT resume: the checkpointed run used no "
-                    "preconditioning transform; discarding the "
-                    "configured one so the saved states keep their "
-                    "meaning."
+                    "preconditioning transform; ignoring the "
+                    "configured one for this call so the saved states "
+                    "keep their meaning."
                 )
-                self.preconditioning_transform = None
+                precond = None
             z0 = None
         else:
             if _init_x is not None:
@@ -1055,8 +1045,9 @@ class ParallelTemperedSampler(MCMCSampler):
                 ).x
             z0 = self.fit_preconditioning_transform(init_x)
             z0 = z0.reshape(n_temps, n_samples, self.dims)
+            # fit_preconditioning_transform may have (re)fitted it.
+            precond = self.preconditioning_transform
 
-        precond = self.preconditioning_transform
         log_likelihood = self.log_likelihood
         log_prior = self.log_prior
         make_view = self._make_view
@@ -1256,7 +1247,7 @@ class ParallelTemperedSampler(MCMCSampler):
             and state_checkpoint_every
             and int(state_checkpoint_every) > 0
         ):
-            if self.preconditioning_transform is not None:
+            if precond is not None:
                 logger.warning(
                     "Mid-run PT state checkpoints require "
                     "preconditioning=None; only the final chain will "
@@ -1329,15 +1320,24 @@ class ParallelTemperedSampler(MCMCSampler):
                     (chain, chain_ll, chain_lp), move_acc, swap_acc = (
                         run_all(z0, round_keys)
                     )
+                    # Attribute device execution to this phase, not to
+                    # whatever first materializes the arrays (the SMC
+                    # sampler pairs compute with explicit sync phases
+                    # for the same reason).
+                    jax.block_until_ready(chain_ll)
                 new_evals += n_rounds * swap_every * n_temps * n_samples
-                if jax.process_count() > 1:
-                    # Multi-controller: the walker-sharded outputs span
-                    # non-addressable devices, but everything
+                if pt_constraint is not None and jax.process_count() > 1:
+                    # Walker-SHARDED multi-controller run: the outputs
+                    # span non-addressable devices, but everything
                     # downstream (evidence estimators, burn-in/thin,
                     # cold-chain extraction) is host numpy. Gather the
                     # global chain to every host — PT walker counts are
                     # modest, so the (rounds, T, n, d) array is small
-                    # next to an SMC population.
+                    # next to an SMC population. (An UNSHARDED
+                    # multi-controller run computes identical
+                    # host-local replicas per process, for which
+                    # tiled=True would wrongly concatenate the rounds
+                    # axis — hence the pt_constraint gate.)
                     from jax.experimental import multihost_utils
 
                     chain, chain_ll, chain_lp = (
@@ -1364,7 +1364,12 @@ class ParallelTemperedSampler(MCMCSampler):
                         carry, outs = run_rounds(
                             carry, round_keys[r:r + step]
                         )
-                    chunks.append(tuple(np.asarray(o) for o in outs))
+                        # The host gather blocks on the pending rounds:
+                        # doing it inside the phase keeps compute out
+                        # of pt/checkpoint.
+                        chunks.append(
+                            tuple(np.asarray(o) for o in outs)
+                        )
                     r += step
                     new_evals += (
                         step * swap_every * n_temps * n_samples
@@ -1469,7 +1474,13 @@ class ParallelTemperedSampler(MCMCSampler):
         # chain: (n_rounds, T, n, d) -> (T, n_rounds, n, d)
         chain = jnp.moveaxis(chain, 1, 0)
         flat = chain.reshape(-1, self.dims)
-        x, log_j = self.invert_preconditioning(flat)
+        # Invert with the RUN's transform (the local, which a resume
+        # may have cleared) — not the instance attribute.
+        if precond is None:
+            x = jnp.asarray(flat)
+            log_j = jnp.zeros(flat.shape[0], dtype=flat.dtype)
+        else:
+            x, log_j = precond.inverse(flat)
         samples = PTMCMCSamples(
             x=x,
             chain_shape=(n_temps, n_rounds, n_samples),

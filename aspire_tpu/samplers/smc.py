@@ -1949,41 +1949,17 @@ class SMCSampler(Sampler):
         differently (context: reference smc/base.py:433-443 only ever
         reports the single-run delta-method bar).
         """
-        logzs, errs, histories = [], [], []
-        result = None
-        for r in range(k):
-            logger.info("SMC replicate %d/%d", r + 1, k)
+        histories = []
+
+        def run_one():
             s = self.sample(n_samples, **kwargs)
-            logzs.append(float(s.log_evidence))
-            errs.append(float(s.log_evidence_error))
             histories.append(self.history)
-            result = s
-        between_sd = float(np.std(logzs, ddof=1))
-        single_rms = float(np.sqrt(np.mean(np.square(errs))))
-        # sqrt(k) shrinkage assumes the replicates are exchangeable
-        # unbiased estimates. When they scatter MORE than their own
-        # single-run bars explain, the runs share unmodeled systematics
-        # (e.g. every short chain collapses modes a little differently
-        # around a common bias) — then the un-shrunk dispersion is the
-        # honest bar (PDG-style consistency scaling).
-        consistent = between_sd <= 1.5 * single_rms
-        between = (
-            between_sd / math.sqrt(k) if consistent else between_sd
-        )
-        single = single_rms / math.sqrt(k)
-        result.log_evidence = float(np.mean(logzs))
-        result.log_evidence_error = max(between, single)
-        result.log_evidence_replicates = np.asarray(logzs)
-        result.log_evidence_error_single = single_rms
+            return s, s.log_evidence, s.log_evidence_error
+
+        # Statistics (consistency-scaled bar) shared with the PT
+        # replicate tier: Sampler._replicate_evidence.
+        result = self._replicate_evidence(k, run_one, "SMC")
         self.replicate_histories = histories
-        logger.info(
-            "Replicated log evidence: %.3f +/- %.3f (between-run "
-            "%.3f, single-run rms %.3f)",
-            result.log_evidence,
-            result.log_evidence_error,
-            between,
-            result.log_evidence_error_single,
-        )
         return result
 
     # -- config / checkpoint -------------------------------------------------

@@ -985,7 +985,11 @@ class PTMCMCSamples(MCMCSamples):
         """
         import matplotlib.pyplot as plt
 
-        if self.betas is None or self.swap_acceptance is None:
+        if (
+            self.betas is None
+            or self.swap_acceptance is None
+            or self.move_acceptance is None
+        ):
             raise ValueError(
                 "plot_ladder needs betas and the recorded acceptance "
                 "diagnostics (run the PT sampler to get them)."

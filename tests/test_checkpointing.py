@@ -479,3 +479,64 @@ def test_pt_midrun_checkpoint_host_target(tmp_path, initial_samples):
     np.testing.assert_array_equal(
         np.asarray(resumed.x), np.asarray(ref.x)
     )
+
+
+def test_pt_facade_crash_recovery(tmp_path, initial_samples):
+    """The advertised crash flow really works: kill a facade-driven PT
+    run BEFORE any post-sample record exists, then resume_from_file +
+    bare sample_posterior() continues it — the continuation kwargs come
+    from the PT state group's own attrs."""
+    path = tmp_path / "pt_crash_facade.h5"
+    asp = make_aspire()
+    asp.fit(initial_samples, n_epochs=8, batch_size=256)
+
+    class _Killed(RuntimeError):
+        pass
+
+    from aspire_tpu.samplers.mcmc import ParallelTemperedSampler
+
+    real_save = ParallelTemperedSampler.save_pt_state
+
+    def crashing_save(self, file_path, **kw):
+        real_save(self, file_path, **kw)
+        if kw["rounds_done"] == 2:
+            raise _Killed()
+
+    ParallelTemperedSampler.save_pt_state = crashing_save
+    try:
+        with pytest.raises(_Killed):
+            asp.sample_posterior(
+                sampler="ptmcmc",
+                n_samples=16,
+                n_steps=24,
+                n_temperatures=4,
+                swap_every=4,
+                preconditioning="none",
+                state_checkpoint_every=2,
+                checkpoint_path=str(path),
+            )
+    finally:
+        ParallelTemperedSampler.save_pt_state = real_save
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        assert "sampler_config" not in f  # genuinely mid-crash
+        assert "aspire_config" in f  # written BEFORE sampling
+        assert "flow" in f
+
+    asp2 = Aspire.resume_from_file(
+        str(path),
+        log_likelihood=log_likelihood,
+        log_prior=log_prior,
+    )
+    assert asp2._resume is not None
+    assert asp2._resume.sampler_type == "ptmcmc"
+    assert asp2._resume.n_samples == 16
+    post = asp2.sample_posterior()
+    # 24 steps / swap_every 4 = 6 rounds of 4 temps x 16 walkers.
+    assert np.asarray(post.x).shape == (4 * 6 * 16, DIMS)
+    # Only the remaining 4 rounds were paid for.
+    assert (
+        asp2.sampler.n_likelihood_evaluations
+        == 4 * 4 * 4 * 16  # rounds * swap_every * temps * walkers
+    )
