@@ -550,7 +550,10 @@ class Aspire:
         )
         logger.info("Sample summary:\n%s", samples)
         if return_history:
-            return samples, self._sampler.history
+            # Samplers without a history object (importance, the MCMC
+            # family) return None rather than raising — the caller
+            # asked for a pair.
+            return samples, getattr(self._sampler, "history", None)
         return samples
 
     # -- pool ---------------------------------------------------------------
