@@ -216,6 +216,12 @@ class PCNSampler(MCMCSampler):
         n_steps = n_steps or 5 * self.dims
         init = self.draw_initial_samples(n_samples)
         z = self.fit_preconditioning_transform(init.x)
+        # Mesh: walkers shard P('data') — pCN moves are elementwise
+        # per walker, so the chain runs SPMD with zero collectives
+        # (single-controller; the stored chain is gathered to host by
+        # _finalize_chain).
+        if jax.process_count() == 1:
+            z = self.shard_array(z)
         log_prob_fn = self.make_log_prob()
         ref = K.fit_gaussian_reference(z)
         if step_fn == "pcn":
@@ -288,6 +294,10 @@ class EnsembleSampler(MCMCSampler):
         # No **kwargs — see PCNSampler.sample.
         init = self.draw_initial_samples(n_samples)
         z = self.fit_preconditioning_transform(init.x)
+        # Mesh: walkers shard P('data'); the red-black stretch
+        # partner picks gather across shards (single-controller).
+        if jax.process_count() == 1:
+            z = self.shard_array(z)
         log_prob_fn = self.make_log_prob()
         step = partial(K.stretch_step, log_prob_fn=log_prob_fn, a=a)
         state = K.ChainState(

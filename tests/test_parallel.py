@@ -178,6 +178,39 @@ class TestShardedSMC:
         assert lz_sharded == pytest.approx(lz_plain, abs=1e-4)
         assert err_sharded == pytest.approx(err_plain, abs=1e-5)
 
+    @pytest.mark.parametrize("name", ["minipcn", "emcee"])
+    def test_standalone_mcmc_walker_sharding(self, mesh, rng, name):
+        """Standalone MCMC chains shard their walker axis over the
+        mesh; same PRNG stream, so the chain matches the unsharded
+        run."""
+        from aspire_tpu.flows import Flow
+        from aspire_tpu.models import GaussianProblem
+        from aspire_tpu.samplers import EnsembleSampler, PCNSampler
+
+        cls = {"minipcn": PCNSampler, "emcee": EnsembleSampler}[name]
+        p = GaussianProblem(dims=2)
+        flow = Flow(dims=2, architecture="maf", key=0, n_layers=2)
+        flow.fit(
+            p.draw_initial_samples(rng, 800), n_epochs=5, batch_size=256
+        )
+
+        def run(mesh_arg):
+            sampler = cls(
+                log_likelihood=p.log_likelihood,
+                log_prior=p.log_prior,
+                dims=2,
+                prior_flow=flow,
+                parameters=p.parameters,
+                rng=jax.random.key(21),
+                mesh=mesh_arg,
+            )
+            post = sampler.sample(64, n_steps=20)
+            return np.asarray(post.x)
+
+        np.testing.assert_allclose(
+            run(mesh), run(None), rtol=1e-5, atol=1e-6
+        )
+
     def test_dp_flow_training(self, mesh, rng):
         """Flow fit with batch sharding over the mesh runs and learns."""
         from aspire_tpu.flows import Flow
