@@ -146,7 +146,11 @@ def _stepping_stone_reduce(betas, logl_centered, tau):
     gaps = jnp.diff(betas)  # (T-1,)
     a = gaps[:, None] * logl_centered[:-1]  # hotter rung powers the ratio
     shift = jnp.max(a, axis=1, keepdims=True)
-    g = jnp.exp(a - shift)
+    # The clip is a no-op in exact arithmetic (a <= shift) but blocks
+    # XLA from reassociating exp(a - shift) into an overflowing form —
+    # observed as logZ = +-inf on a funnel prior rung whose logL spans
+    # 1e19 (jit gave inf where eager was finite).
+    g = jnp.exp(jnp.minimum(a - shift, 0.0))
     g_mean = jnp.mean(g, axis=1)
     log_r = jnp.log(g_mean) + jnp.squeeze(shift, axis=1)
     n_eff = logl_centered.shape[1] / tau[:-1]
@@ -947,12 +951,19 @@ class PTMCMCSamples(MCMCSamples):
                 f"(the prior); the hottest rung supplied is at "
                 f"beta={betas[0]}."
             )
-        rung_means = logl.mean(axis=1)
+        # Center each rung on its MAX, not its mean: centered values
+        # are then <= 0, so every device-side exponent dbeta * centered
+        # is bounded above by 0 — no f32 overflow and no catastrophic
+        # base-vs-shift cancellation even when a prior rung's logL
+        # spans 1e19 (deep-funnel geometry). The estimator is
+        # shift-invariant, so typical problems are bit-unchanged in
+        # f64 and statistically unchanged in f32.
+        rung_ref = logl.max(axis=1)
         shifted, err = _stepping_stone_reduce(
-            betas, logl - rung_means[:, None], tau
+            betas, logl - rung_ref[:, None], tau
         )
-        # Exact f64 base: sum_j dbeta_j * mean_j over the hotter rungs.
-        base = float(np.sum(np.diff(betas) * rung_means[:-1]))
+        # Exact f64 base: sum_j dbeta_j * ref_j over the hotter rungs.
+        base = float(np.sum(np.diff(betas) * rung_ref[:-1]))
         return base + float(shifted), float(err)
 
     def plot_chain(

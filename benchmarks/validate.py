@@ -95,6 +95,25 @@ def analytic_log_z(problem) -> float:
         ll = -(100.0 * (Y - X**2) ** 2 + (1 - X) ** 2)
         width = problem.upper - problem.lower
         return float(lse(ll) + 2 * np.log(dx) - 2 * np.log(width))
+    if name == "FunnelProblem":
+        # Gaussian-product integrals close over the rest dims given v,
+        # leaving a 1-D quadrature: Z = int dv N(v;0,scale^2)
+        # N(v;0,s^2) * (2 pi (e^v + s^2))^{-(d-1)/2} with s the wide
+        # prior scale (targets.py FunnelProblem.log_prior).
+        from scipy.special import logsumexp as lse
+
+        scale, s = problem.scale, 10.0
+        d = problem.dims - 1
+        v = np.linspace(-60.0, 60.0, 400001)
+        dv = v[1] - v[0]
+        log_int = (
+            -0.5 * v**2 / scale**2
+            - 0.5 * np.log(2 * np.pi * scale**2)
+            - 0.5 * v**2 / s**2
+            - 0.5 * np.log(2 * np.pi * s**2)
+            - 0.5 * d * np.log(2 * np.pi * (np.exp(v) + s**2))
+        )
+        return float(lse(log_int) + np.log(dv))
     if name == "GaussianMixtureProblem":
         def comp(mu, var):
             d = len(mu)
@@ -129,6 +148,7 @@ def main() -> None:
 
     from aspire_tpu import Aspire, Samples, configure_logger
     from aspire_tpu.models import (
+        FunnelProblem,
         GaussianMixtureProblem,
         GaussianProblem,
         RosenbrockProblem,
@@ -155,6 +175,16 @@ def main() -> None:
             lambda rng: RosenbrockProblem(
                 dims=2
             ).draw_initial_samples(rng, 8192),
+        ),
+        # Neal's funnel x wide-normal prior: hierarchical-variance
+        # geometry with a 1-D quadrature truth. The prior rung's logL
+        # spans ~1e19 — the target that exposed (and now regression-
+        # gates) the stepping-stone f32 overflow.
+        (
+            FunnelProblem(dims=5),
+            lambda rng: FunnelProblem(dims=5).draw_initial_samples(
+                rng, 8192
+            ),
         ),
     ]:
         rng = np.random.default_rng(0)

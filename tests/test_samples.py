@@ -598,3 +598,40 @@ class TestPTDiagnosticsPersistence:
 
         with _pytest.raises(ValueError, match="diagnostics"):
             s.plot_ladder()
+
+
+class TestSteppingStoneExtremeSkew:
+    def test_funnel_like_prior_rung_stays_finite(self, rng):
+        """A prior rung whose logL spans 1e19 (deep-funnel geometry)
+        must not overflow the f32 device reduction: max-centering
+        bounds every device exponent by 0, and the result matches an
+        f64 host reference. Regression: the jitted mean-centered
+        reduction returned +-inf here (XLA reassociated the shifted
+        exp into an overflowing form)."""
+        T, S = 4, 256
+        logl = np.stack([
+            np.where(
+                rng.uniform(size=S) < 0.05,
+                -1.8e19,
+                rng.normal(-12, 2, S),
+            ),
+            rng.normal(-100, 30, S),
+            rng.normal(-30, 5, S),
+            rng.normal(3, 1, S),
+        ])
+        s = PTMCMCSamples(
+            x=np.zeros((T * 1 * S, 2)),
+            chain_shape=(T, 1, S),
+            betas=np.array([1.0, 0.05, 1e-3, 0.0]),
+        )
+        s.log_likelihood = logl[::-1].reshape(-1)  # cold rung first
+        lz, err = s.log_evidence_stepping_stone(burn_in_fraction=None)
+        assert np.isfinite(lz) and np.isfinite(err)
+        betas = np.array([0.0, 1e-3, 0.05, 1.0])
+        gaps = np.diff(betas)
+        a = gaps[:, None] * logl[:-1]
+        sh = a.max(axis=1, keepdims=True)
+        ref = float(
+            (np.log(np.exp(a - sh).mean(axis=1)) + sh[:, 0]).sum()
+        )
+        assert lz == pytest.approx(ref, rel=1e-5)
