@@ -26,7 +26,10 @@ def logsumexp(log_w: jax.Array, axis_name: str | None = None) -> jax.Array:
         m = jax.lax.pmax(m, axis_name)
     # Guard: if every element is -inf the max is -inf; shift by 0 instead.
     m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
-    s = jnp.sum(jnp.exp(log_w - m_safe))
+    # minimum(., 0) is exact when m is the true max; it blocks the
+    # XLA reassociation that overflowed the stepping-stone reduce
+    # on 1e19-magnitude log-weights (samples.py regression).
+    s = jnp.sum(jnp.exp(jnp.minimum(log_w - m_safe, 0.0)))
     if axis_name is not None:
         s = jax.lax.psum(s, axis_name)
     return m_safe + jnp.log(s)
@@ -74,7 +77,7 @@ def log_evidence_from_log_weights(
     if axis_name is not None:
         m = jax.lax.pmax(m, axis_name)
     m = jnp.where(jnp.isfinite(m), m, 0.0)
-    u = jnp.exp(log_w - m)
+    u = jnp.exp(jnp.minimum(log_w - m, 0.0))
     if axis_name is not None:
         s1 = jax.lax.psum(jnp.sum(u), axis_name)
         s2 = jax.lax.psum(jnp.sum(u**2), axis_name)

@@ -165,7 +165,7 @@ def _iteration_stats(
     log_w = (beta - beta_prev) * delta
     n = log_w.shape[0]
     m = jnp.max(log_w)
-    u = jnp.exp(log_w - m)
+    u = jnp.exp(jnp.minimum(log_w - m, 0.0))
     mean_u = jnp.mean(u)
     ratio = m + jnp.log(mean_u)
     var = jnp.var(u) / (n * mean_u**2)

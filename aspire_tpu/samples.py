@@ -453,7 +453,7 @@ class Samples(BaseSamples):
         # in the ratio sigma_Z / Z.
         # n*(n-1) as a float: the int product overflows int32 for n >= 2^16.
         m = jnp.max(self.log_w)
-        u = jnp.exp(self.log_w - m)
+        u = jnp.exp(jnp.minimum(self.log_w - m, 0.0))
         u_mean = jnp.mean(u)
         sigma_u = jnp.sqrt(jnp.sum((u - u_mean) ** 2) / (n * (n - 1.0)))
         self.log_evidence_error = jnp.where(
@@ -1072,7 +1072,7 @@ class SMCSamples(BaseSamples):
         """Delta-method variance of the per-step evidence ratio."""
         log_w = self.unnormalized_log_weights(beta)
         m = jnp.max(log_w)
-        u = jnp.exp(log_w - m)
+        u = jnp.exp(jnp.minimum(log_w - m, 0.0))
         mean_w = jnp.mean(u)
         var_w = jnp.var(u)
         return jnp.where(
