@@ -959,6 +959,11 @@ class PTMCMCSamples(MCMCSamples):
         # shift-invariant, so typical problems are bit-unchanged in
         # f64 and statistically unchanged in f32.
         rung_ref = logl.max(axis=1)
+        # An all-(-inf) rung (no walker inside the likelihood support)
+        # would turn the centering into NaNs; referencing it at 0 keeps
+        # the centered values at -inf so the rung honestly contributes
+        # a zero power ratio (logZ -> -inf) instead of NaN.
+        rung_ref = np.where(np.isfinite(rung_ref), rung_ref, 0.0)
         shifted, err = _stepping_stone_reduce(
             betas, logl - rung_ref[:, None], tau
         )
