@@ -82,7 +82,7 @@ def spawn(args) -> int:
     ]
     ok = True
     for i, p in enumerate(procs):
-        out, _ = p.communicate(timeout=600)
+        out, _ = p.communicate(timeout=900)
         if p.returncode != 0 or f"proc {i} OK" not in out:
             ok = False
             print(f"--- process {i} FAILED ---\n{out}", file=sys.stderr)

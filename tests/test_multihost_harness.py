@@ -33,7 +33,7 @@ def test_four_process_harness(tmp_path):
         ],
         capture_output=True,
         text=True,
-        timeout=600,
+        timeout=900,
     )
     assert proc.returncode == 0, proc.stdout + proc.stderr
     result = json.loads(out_file.read_text())
@@ -70,7 +70,7 @@ def test_four_process_composed_config(tmp_path):
         ],
         capture_output=True,
         text=True,
-        timeout=600,
+        timeout=900,
     )
     assert proc.returncode == 0, proc.stdout + proc.stderr
     result = json.loads(out_file.read_text())
