@@ -176,6 +176,9 @@ class FunnelProblem(Problem):
 
     dims: int = 10
     scale: float = 3.0
+    #: scale of the wide-normal prior; referenced by the analytic
+    #: evidence quadrature in benchmarks/validate.py — keep in sync.
+    prior_scale: float = 10.0
 
     def log_likelihood(self, samples):
         x = samples.x
@@ -193,7 +196,7 @@ class FunnelProblem(Problem):
 
     def log_prior(self, samples):
         x = samples.x
-        s = 10.0
+        s = self.prior_scale
         return jnp.sum(
             -0.5 * (x / s) ** 2 - 0.5 * jnp.log(2 * jnp.pi * s**2), axis=-1
         )

@@ -26,10 +26,14 @@ def logsumexp(log_w: jax.Array, axis_name: str | None = None) -> jax.Array:
         m = jax.lax.pmax(m, axis_name)
     # Guard: if every element is -inf the max is -inf; shift by 0 instead.
     m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
-    # minimum(., 0) is exact when m is the true max; it blocks the
-    # XLA reassociation that overflowed the stepping-stone reduce
-    # on 1e19-magnitude log-weights (samples.py regression).
-    s = jnp.sum(jnp.exp(jnp.minimum(log_w - m_safe, 0.0)))
+    # minimum(., 0) is exact when m is the true (finite) max; it blocks
+    # the XLA reassociation that overflowed the stepping-stone reduce
+    # on 1e19-magnitude log-weights (samples.py regression). When m is
+    # NOT finite the clip must be skipped: a +inf log-weight would be
+    # silently masked to exp(0) instead of loudly propagating inf.
+    x = log_w - m_safe
+    x = jnp.where(jnp.isfinite(m), jnp.minimum(x, 0.0), x)
+    s = jnp.sum(jnp.exp(x))
     if axis_name is not None:
         s = jax.lax.psum(s, axis_name)
     return m_safe + jnp.log(s)
@@ -76,8 +80,11 @@ def log_evidence_from_log_weights(
     m = jnp.max(log_w)
     if axis_name is not None:
         m = jax.lax.pmax(m, axis_name)
-    m = jnp.where(jnp.isfinite(m), m, 0.0)
-    u = jnp.exp(jnp.minimum(log_w - m, 0.0))
+    m_finite = jnp.isfinite(m)
+    m = jnp.where(m_finite, m, 0.0)
+    # Clip only under a finite max — see logsumexp above.
+    u = log_w - m
+    u = jnp.exp(jnp.where(m_finite, jnp.minimum(u, 0.0), u))
     if axis_name is not None:
         s1 = jax.lax.psum(jnp.sum(u), axis_name)
         s2 = jax.lax.psum(jnp.sum(u**2), axis_name)

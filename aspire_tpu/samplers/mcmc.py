@@ -216,10 +216,11 @@ class PCNSampler(MCMCSampler):
         n_steps = n_steps or 5 * self.dims
         init = self.draw_initial_samples(n_samples)
         z = self.fit_preconditioning_transform(init.x)
-        # Mesh: walkers shard P('data') — pCN moves are elementwise
-        # per walker, so the chain runs SPMD with zero collectives
-        # (single-controller; the stored chain is gathered to host by
-        # _finalize_chain).
+        # Mesh: walkers shard P('data') — pCN proposals/accepts are
+        # elementwise per walker; the only cross-shard traffic is the
+        # scalar mean-acceptance all-reduce the step-size adaptation
+        # takes each step (single-controller; the stored chain is
+        # gathered to host by _finalize_chain).
         if jax.process_count() == 1:
             z = self.shard_array(z)
         log_prob_fn = self.make_log_prob()

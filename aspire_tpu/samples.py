@@ -146,6 +146,10 @@ def _stepping_stone_reduce(betas, logl_centered, tau):
     gaps = jnp.diff(betas)  # (T-1,)
     a = gaps[:, None] * logl_centered[:-1]  # hotter rung powers the ratio
     shift = jnp.max(a, axis=1, keepdims=True)
+    # An all-(-inf) rung makes shift = -inf and a - shift = NaN;
+    # shifting by 0 instead keeps the row at -inf so the rung
+    # contributes an honest -inf ratio (same guard as logsumexp).
+    shift = jnp.where(jnp.isfinite(shift), shift, 0.0)
     # The clip is a no-op in exact arithmetic (a <= shift) but blocks
     # XLA from reassociating exp(a - shift) into an overflowing form —
     # observed as logZ = +-inf on a funnel prior rung whose logL spans

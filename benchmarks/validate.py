@@ -1,9 +1,11 @@
 """Statistical validation: every sampler against analytic evidences.
 
-Runs each posterior-sampling strategy on two closed-form targets (the
-reference's basic-example Gaussian x uniform prior, and the two-Gaussian
-mixture x normal prior) on whatever device is available, and checks the
-log-evidence against the analytic value within k-sigma. Prints one JSON
+Runs each posterior-sampling strategy on four closed-form targets (the
+reference's basic-example Gaussian x uniform prior, the two-Gaussian
+mixture x normal prior, a 2-d Rosenbrock banana, and Neal's funnel x
+wide-normal prior — the latter two with quadrature truths) on whatever
+device is available, and checks the log-evidence against the analytic
+value within k-sigma. Prints one JSON
 line per (sampler, problem) and exits non-zero on any failure — the
 statistical counterpart of the reference's examples.yml smoke CI.
 
@@ -102,7 +104,7 @@ def analytic_log_z(problem) -> float:
         # prior scale (targets.py FunnelProblem.log_prior).
         from scipy.special import logsumexp as lse
 
-        scale, s = problem.scale, 10.0
+        scale, s = problem.scale, problem.prior_scale
         d = problem.dims - 1
         v = np.linspace(-60.0, 60.0, 400001)
         dv = v[1] - v[0]

@@ -635,3 +635,39 @@ class TestSteppingStoneExtremeSkew:
             (np.log(np.exp(a - sh).mean(axis=1)) + sh[:, 0]).sum()
         )
         assert lz == pytest.approx(ref, rel=1e-5)
+
+    def test_dead_rung_gives_minus_inf_not_nan(self, rng):
+        """A rung with every walker outside the likelihood support
+        contributes an honest zero power ratio: logZ -> -inf, never
+        NaN (the -inf row would otherwise make shift = -inf and
+        a - shift = NaN inside the reduction)."""
+        s = PTMCMCSamples(
+            x=np.zeros((3 * 1 * 8, 2)),
+            chain_shape=(3, 1, 8),
+            betas=np.array([1.0, 0.5, 0.0]),
+        )
+        ll = np.array([[-1.0] * 8, [-np.inf] * 8, [-2.0] * 8])
+        s.log_likelihood = ll[::-1].reshape(-1)  # cold rung first
+        lz, err = s.log_evidence_stepping_stone(burn_in_fraction=None)
+        assert lz == -np.inf
+        assert not np.isnan(lz)
+
+
+class TestLogsumexpInfEdges:
+    def test_plus_inf_propagates(self):
+        """+inf log-weights must stay loud (the overflow clip is
+        skipped when the max is not finite)."""
+        import jax.numpy as jnp
+
+        from aspire_tpu.ops.special import (
+            effective_sample_size,
+            logsumexp,
+        )
+
+        assert float(logsumexp(jnp.array([0.0, np.inf]))) == np.inf
+        assert float(
+            logsumexp(jnp.array([-np.inf, -np.inf]))
+        ) == -np.inf
+        assert np.isfinite(
+            float(effective_sample_size(jnp.array([0.0, -1.0])))
+        )
