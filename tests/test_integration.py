@@ -841,3 +841,53 @@ def test_capped_run_final_resample_accumulates_last_segment(
         len(sampler.history.beta) + 1
     )
     assert float(out.log_evidence) == pytest.approx(TRUE_LOG_Z, abs=1.0)
+
+
+def test_ptmcmc_adaptive_funnel_regression():
+    """Adaptive + pilot-refined PT on funnel geometry: the prior rung's
+    logL spans many orders of magnitude — the configuration whose
+    stepping-stone estimate overflowed to +-inf before the
+    max-centering fix. The estimate must be finite and near the 1-D
+    quadrature truth."""
+    from scipy.special import logsumexp as lse
+
+    from aspire_tpu.models import FunnelProblem
+
+    problem = FunnelProblem(dims=3)
+    rng = np.random.default_rng(2)
+    asp = Aspire(
+        log_likelihood=problem.log_likelihood,
+        log_prior=problem.log_prior,
+        dims=3,
+        parameters=problem.parameters,
+        flow_backend="nsf",
+        seed=4,
+    )
+    asp.fit(
+        Samples(problem.draw_initial_samples(rng, 4096)),
+        n_epochs=15,
+        batch_size=512,
+    )
+    post = asp.sample_posterior(
+        sampler="ptmcmc",
+        n_samples=128,
+        n_steps=120,
+        n_temperatures=8,
+        betas="adaptive",
+        swap_every=5,
+        ladder_pilot_steps=20,
+        preconditioning="none",
+    )
+    lz, err = post.log_evidence_stepping_stone()
+    scale, s, d = problem.scale, problem.prior_scale, problem.dims - 1
+    v = np.linspace(-60.0, 60.0, 200001)
+    log_int = (
+        -0.5 * v**2 / scale**2
+        - 0.5 * np.log(2 * np.pi * scale**2)
+        - 0.5 * v**2 / s**2
+        - 0.5 * np.log(2 * np.pi * s**2)
+        - 0.5 * d * np.log(2 * np.pi * (np.exp(v) + s**2))
+    )
+    true = float(lse(log_int) + np.log(v[1] - v[0]))
+    assert np.isfinite(lz) and np.isfinite(err)
+    assert lz == pytest.approx(true, abs=0.5)
