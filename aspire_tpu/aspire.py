@@ -125,6 +125,9 @@ class Aspire:
         self._flow = flow
         self._sampler = None
         self._sampler_sig = None
+        #: retained by fit(); consumed by replicated_evidence's
+        #: flow-refit cycles.
+        self.training_samples: Samples | None = None
         # Context-scoped run-file state: a write policy for the current
         # checkpoint file (if any) and a primed continuation. Both are
         # plain slots swapped wholesale by ``auto_checkpoint`` — never
@@ -555,6 +558,74 @@ class Aspire:
             # asked for a pair.
             return samples, getattr(self._sampler, "history", None)
         return samples
+
+    def replicated_evidence(
+        self,
+        n_replicates: int,
+        *,
+        refit_flow: bool = True,
+        fit_kwargs: dict | None = None,
+        **sample_kwargs: Any,
+    ):
+        """Between-run logZ spread over fully independent pipelines.
+
+        The sampler-level ``n_replicates`` reruns the SAMPLER k times
+        but shares one fitted flow, so flow-fit seed variation — the
+        measured dominant systematic on funnel-like geometry (see
+        TODO.md) — is invisible to its bar. This tier re-initializes
+        and refits the flow each cycle (fresh init key on the retained
+        ``training_samples``) before sampling, then reports the same
+        consistency-scaled combination on the returned samples
+        (``log_evidence`` / ``log_evidence_error`` /
+        ``log_evidence_replicates``).
+
+        Each cycle replaces the flow object, so the sampler and its
+        compiled programs are rebuilt per replicate — this tier trades
+        compile time for the honest bar. ``sample_kwargs`` are passed
+        to :meth:`sample_posterior` verbatim (``sampler=``,
+        ``sampler_kwargs=``, ...); PT runs are combined on their
+        stepping-stone estimate.
+        """
+        if n_replicates < 2:
+            raise ValueError("n_replicates must be >= 2")
+        # (Nesting the sampler-level tier is impossible by signature:
+        # a keyword n_replicates binds to this method's own argument.)
+        if refit_flow and self.training_samples is None:
+            raise ValueError(
+                "replicated_evidence(refit_flow=True) needs a prior "
+                "fit() so the training samples are retained."
+            )
+        from .samplers.base import combine_replicates
+
+        sampler_name = sample_kwargs.get("sampler", "importance")
+        base_seed = self.seed if self.seed is not None else 0
+        fit_kwargs = dict(fit_kwargs or {})
+        logzs, errs = [], []
+        result = None
+        saved_key = self.flow_kwargs.get("key")
+        try:
+            for r in range(n_replicates):
+                logger.info(
+                    "Pipeline replicate %d/%d", r + 1, n_replicates
+                )
+                if refit_flow:
+                    self.flow_kwargs["key"] = base_seed + 101 + r
+                    self.init_flow()
+                    self.fit(self.training_samples, **fit_kwargs)
+                result = self.sample_posterior(**sample_kwargs)
+                if sampler_name in ("ptmcmc", "parallel_tempered"):
+                    lz, err = result.log_evidence_stepping_stone()
+                else:
+                    lz = float(result.log_evidence)
+                    err = float(result.log_evidence_error)
+                logzs.append(float(lz))
+                errs.append(float(err))
+        finally:
+            if saved_key is None:
+                self.flow_kwargs.pop("key", None)
+            else:
+                self.flow_kwargs["key"] = saved_key
+        return combine_replicates(result, logzs, errs, "pipeline")
 
     # -- pool ---------------------------------------------------------------
 

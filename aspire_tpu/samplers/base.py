@@ -30,6 +30,40 @@ from ..utils import CallHistory, function_id, resolve_dtype
 logger = logging.getLogger("aspire_tpu")
 
 
+def combine_replicates(result, logzs, errs, label: str):
+    """Attach the replicate-mean logZ with the consistency-scaled bar.
+
+    PDG-style scaling: ``std/sqrt(k)`` when the between-replicate
+    spread agrees with the single-run bars, the UN-shrunk dispersion
+    when the replicates scatter beyond them (shared systematics —
+    e.g. every short chain collapses modes a little differently around
+    a common bias). The single source of truth for every replicate
+    tier (SMC, PT, and the facade's flow-refit tier).
+    """
+    import math
+
+    k = len(logzs)
+    between_sd = float(np.std(logzs, ddof=1))
+    single_rms = float(np.sqrt(np.mean(np.square(errs))))
+    consistent = between_sd <= 1.5 * single_rms
+    between = between_sd / math.sqrt(k) if consistent else between_sd
+    single = single_rms / math.sqrt(k)
+    result.log_evidence = float(np.mean(logzs))
+    result.log_evidence_error = max(between, single)
+    result.log_evidence_replicates = np.asarray(logzs)
+    result.log_evidence_error_single = single_rms
+    logger.info(
+        "Replicated %s log evidence: %.3f +/- %.3f (between-run "
+        "%.3f, single-run rms %.3f)",
+        label,
+        result.log_evidence,
+        result.log_evidence_error,
+        between,
+        single_rms,
+    )
+    return result
+
+
 class _SamplesView:
     """Lightweight Samples-like view passed to user callables.
 
@@ -377,18 +411,10 @@ class Sampler:
         """Shared replicate statistics for the ``n_replicates`` tier.
 
         ``run_one()`` runs one replicate and returns
-        ``(samples, logz, err)``. Reports the replicate mean with the
-        PDG-style consistency-scaled bar: ``std/sqrt(k)`` when the
-        between-replicate spread agrees with the single-run bars, the
-        un-shrunk dispersion when the replicates scatter beyond them
-        (shared systematics — e.g. every short chain collapses modes a
-        little differently around a common bias). Used by both the SMC
-        and PT samplers so the two tiers cannot drift apart.
+        ``(samples, logz, err)``. Used by both the SMC and PT samplers
+        (and the facade's flow-refit tier) so the tiers cannot drift
+        apart; the bar semantics live in :func:`combine_replicates`.
         """
-        import math
-
-        import numpy as np
-
         logzs, errs = [], []
         result = None
         for r in range(k):
@@ -396,27 +422,7 @@ class Sampler:
             result, lz, err = run_one()
             logzs.append(float(lz))
             errs.append(float(err))
-        between_sd = float(np.std(logzs, ddof=1))
-        single_rms = float(np.sqrt(np.mean(np.square(errs))))
-        consistent = between_sd <= 1.5 * single_rms
-        between = (
-            between_sd / math.sqrt(k) if consistent else between_sd
-        )
-        single = single_rms / math.sqrt(k)
-        result.log_evidence = float(np.mean(logzs))
-        result.log_evidence_error = max(between, single)
-        result.log_evidence_replicates = np.asarray(logzs)
-        result.log_evidence_error_single = single_rms
-        logger.info(
-            "Replicated %s log evidence: %.3f +/- %.3f (between-run "
-            "%.3f, single-run rms %.3f)",
-            label,
-            result.log_evidence,
-            result.log_evidence_error,
-            between,
-            single_rms,
-        )
-        return result
+        return combine_replicates(result, logzs, errs, label)
 
     # -- checkpoint protocol (reference samplers/base.py:158-287) ----------
 

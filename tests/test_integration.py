@@ -891,3 +891,37 @@ def test_ptmcmc_adaptive_funnel_regression():
     true = float(lse(log_int) + np.log(v[1] - v[0]))
     assert np.isfinite(lz) and np.isfinite(err)
     assert lz == pytest.approx(true, abs=0.5)
+
+
+def test_replicated_evidence_flow_refit(initial_samples):
+    """The facade replicate tier re-fits the flow each cycle, so the
+    between-run bar includes flow-fit seed variation the sampler-level
+    n_replicates (one shared flow) cannot see."""
+    asp = Aspire(
+        log_likelihood=log_likelihood,
+        log_prior=log_prior,
+        dims=DIMS,
+        parameters=[f"x_{i}" for i in range(DIMS)],
+        prior_bounds={f"x_{i}": [-10, 10] for i in range(DIMS)},
+        seed=0,
+    )
+    with pytest.raises(ValueError, match="prior fit"):
+        asp.replicated_evidence(2)
+    asp.fit(initial_samples, n_epochs=8, batch_size=256)
+    flow_before = asp.flow
+    post = asp.replicated_evidence(
+        3,
+        fit_kwargs={"n_epochs": 8, "batch_size": 256},
+        sampler="smc",
+        n_samples=256,
+        sampler_kwargs={"n_steps": 8},
+    )
+    assert asp.flow is not flow_before  # genuinely refit
+    assert post.log_evidence_replicates.shape == (3,)
+    # Three INDEPENDENT fits cannot produce identical logZ.
+    assert np.std(post.log_evidence_replicates) > 0
+    assert post.log_evidence == pytest.approx(TRUE_LOG_Z, abs=0.5)
+    # Nesting the sampler-level tier is blocked by the signature
+    # itself (n_replicates binds to the method's own argument).
+    with pytest.raises(TypeError):
+        asp.replicated_evidence(2, n_replicates=2)
