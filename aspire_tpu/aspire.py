@@ -123,6 +123,10 @@ class Aspire:
         self.seed = seed
 
         self._flow = flow
+        # Monotone counter bumped on every flow replacement: the
+        # sampler compile-cache key uses it instead of id(self.flow),
+        # which a free-then-realloc at the same address could alias.
+        self._flow_generation = 0
         self._sampler = None
         self._sampler_sig = None
         #: retained by fit(); consumed by replicated_evidence's
@@ -145,6 +149,7 @@ class Aspire:
     @flow.setter
     def flow(self, flow: Flow) -> None:
         self._flow = flow
+        self._flow_generation += 1
 
     @property
     def sampler(self):
@@ -212,7 +217,7 @@ class Aspire:
         logger.info(
             "Configuring %s with kwargs: %s", FlowClass.__name__, flow_kwargs
         )
-        self._flow = FlowClass(
+        self.flow = FlowClass(
             dims=self.dims,
             data_transform=data_transform,
             **flow_kwargs,
@@ -427,7 +432,7 @@ class Aspire:
         # the flow object itself invalidates the cache.
         sampler_sig = (
             sampler,
-            id(self.flow),
+            self._flow_generation,
             preconditioning,
             preconditioning_kwargs,
             sampler_init_kwargs,
@@ -685,7 +690,7 @@ class Aspire:
         FlowClass = get_flow_class(
             backend=self.flow_backend, flow_matching=self.flow_matching
         )
-        self._flow = FlowClass.load(h5_file, path=path)
+        self.flow = FlowClass.load(h5_file, path=path)
 
     def save_config_to_json(self, filename: str) -> None:
         import json

@@ -787,11 +787,15 @@ class SMCSampler(Sampler):
         max_iters: int,
         checkpoint_callback=None,
         checkpoint_every: int | None = 1,
+        store_history: bool = False,
     ) -> tuple[SMCSamples, int]:
         """Run the whole adaptive ladder as ONE compiled while_loop.
 
         Validations narrow this fast path to the cases it supports; the
         host ladder remains the general (and default) driver.
+        ``store_history=True`` posts a per-rung population snapshot to
+        ``history.sample_history`` through the same in-loop
+        ``io_callback`` the checkpoints use (single-controller only).
         """
         if not self.adaptive:
             raise ValueError("device_ladder requires adaptive=True")
@@ -831,6 +835,7 @@ class SMCSampler(Sampler):
             )
             checkpoint_callback = None
         self._ladder_checkpoint_sink = checkpoint_callback
+        self._ladder_store_history = store_history
         self._ladder_checkpoint_every = checkpoint_every
         self._ladder_history_base = copy.deepcopy(self.history)
         self._ladder_base_iteration = len(self.history.beta)
@@ -841,7 +846,9 @@ class SMCSampler(Sampler):
         ladder = self._build_device_ladder(
             n_steps,
             max_iters,
-            with_checkpoint=checkpoint_callback is not None,
+            with_checkpoint=(
+                checkpoint_callback is not None or store_history
+            ),
             waste_free=waste_free,
         )
         ladder_phase = self.profiler.phase("ladder")
@@ -946,6 +953,7 @@ class SMCSampler(Sampler):
         new.log_prior = out["lpi"]
         new.log_likelihood = out["ll"]
         self._ladder_checkpoint_sink = None
+        self._ladder_store_history = False
         return new, it
 
     def _replay_ladder_history(
@@ -985,9 +993,27 @@ class SMCSampler(Sampler):
         sink registered for the current run.
         """
         sink = getattr(self, "_ladder_checkpoint_sink", None)
-        if sink is None:
+        store = getattr(self, "_ladder_store_history", False)
+        if sink is None and not store:
             return
         it = int(it)
+        if store:
+            # Per-rung population snapshot (every iteration, no
+            # cadence filter — matching the host ladder's appends).
+            snap = SMCSamples(
+                x=np.asarray(x),
+                beta=float(beta),
+                dtype=self.dtype,
+                parameters=self.parameters,
+            )
+            snap.log_likelihood = np.asarray(ll)
+            snap.log_prior = np.asarray(lpi)
+            snap.log_q = np.asarray(lq)
+            # Constructors promote to device arrays; history snapshots
+            # are host-side (matching the host ladder's appends).
+            self.history.sample_history.append(snap.to_numpy())
+        if sink is None:
+            return
         every = getattr(self, "_ladder_checkpoint_every", 1) or 1
         if (self._ladder_base_iteration + it) % every != 0:
             return  # honor checkpoint_every (host-side cadence filter)
@@ -1544,20 +1570,11 @@ class SMCSampler(Sampler):
             # of the full particle array; record them by default only
             # for plot-sized runs (the reference always records, but its
             # workloads are O(500) particles). On a multi-controller
-            # mesh the global array is not host-addressable at all, and
-            # an explicitly requested compiled ladder cannot surface
-            # per-rung snapshots either.
+            # mesh the global array is not host-addressable at all.
+            # The compiled ladder posts its per-rung snapshots through
+            # the same in-loop io_callback the checkpoints use.
             store_sample_history = (
-                n_samples <= 10_000
-                and not multiprocess
-                and device_ladder is not True
-            )
-        elif store_sample_history and device_ladder:
-            raise ValueError(
-                "device_ladder=True compiles the whole ladder into one "
-                "program and cannot record per-iteration sample "
-                "snapshots; use device_ladder=False with "
-                "store_sample_history=True."
+                n_samples <= 10_000 and not multiprocess
             )
         if store_sample_history and multiprocess:
             raise ValueError(
@@ -1680,6 +1697,7 @@ class SMCSampler(Sampler):
                 ),
                 checkpoint_callback=checkpoint_callback,
                 checkpoint_every=checkpoint_every,
+                store_history=store_sample_history,
             )
             # Resumed runs keep counting from the restored iteration.
             iterations += ladder_iters

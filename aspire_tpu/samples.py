@@ -487,7 +487,11 @@ class Samples(BaseSamples):
             rng = rng or np.random.default_rng()
             log_u = jnp.asarray(np.log(rng.uniform(size=n)))
         log_w = self.log_w - jnp.max(self.log_w)
-        accept = to_numpy(log_w > log_u)
+        # The accept mask stays on device: eager boolean indexing of a
+        # jax array compacts on-device (the output shape is data-
+        # dependent, so this path is host-driven but never round-trips
+        # the mask or the population through numpy).
+        accept = log_w > log_u
         return self.__class__(
             x=self.x[accept],
             log_likelihood=self.log_likelihood[accept],
@@ -800,16 +804,19 @@ class PTMCMCSamples(MCMCSamples):
     def cold_chain(self) -> MCMCSamples:
         return self.at_temperature(0)
 
-    def subsample(self, n: int, rng=None) -> "PTMCMCSamples":
+    def subsample(
+        self, n: int, key: jax.Array | None = None, rng=None
+    ) -> "PTMCMCSamples":
         """Randomly subsample ``n`` (step, walker) entries per temperature.
 
         Indices are drawn INDEPENDENTLY per rung: a shared index vector
         would keep the rungs' draws step-aligned (cross-rung
         correlated), violating the independence the TI/stepping-stone
-        error reductions assume.
+        error reductions assume. Index draws and the gathers run on
+        device (vmapped per-rung permutations); ``rng`` only seeds the
+        key when no ``key`` is given.
         """
-        rng = rng or np.random.default_rng()
-        chain = to_numpy(self.chain)
+        chain = jnp.asarray(self.chain)
         n_temps = chain.shape[0]
         flat = chain.reshape(n_temps, -1, self.dims)
         total = flat.shape[1]
@@ -817,22 +824,26 @@ class PTMCMCSamples(MCMCSamples):
             raise ValueError(
                 f"Cannot subsample {n} from {total} samples per temperature"
             )
-        idx = np.stack(
-            [
-                rng.choice(total, size=n, replace=False)
-                for _ in range(n_temps)
-            ]
-        )  # (T, n)
-        rows = np.arange(n_temps)[:, None]
+        if key is None:
+            rng = rng or np.random.default_rng()
+            key = jax.random.key(int(rng.integers(2**63)))
+        keys = jax.random.split(key, n_temps)
+        idx = jax.vmap(
+            lambda k: jax.random.permutation(k, total)[:n]
+        )(keys)  # (T, n) without replacement, independent per rung
 
         def pick(value):
             if value is None:
                 return None
-            v = to_numpy(self._reshape_like_chain(value)).reshape(n_temps, -1)
-            return v[rows, idx].reshape(-1)
+            v = jnp.asarray(self._reshape_like_chain(value)).reshape(
+                n_temps, -1
+            )
+            return jnp.take_along_axis(v, idx, axis=1).reshape(-1)
 
         return self.__class__(
-            x=flat[rows, idx].reshape(-1, self.dims),
+            x=jnp.take_along_axis(
+                flat, idx[:, :, None], axis=1
+            ).reshape(-1, self.dims),
             log_likelihood=pick(self.log_likelihood),
             log_prior=pick(self.log_prior),
             log_q=pick(self.log_q),
