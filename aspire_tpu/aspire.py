@@ -584,12 +584,13 @@ class Aspire:
         (``log_evidence`` / ``log_evidence_error`` /
         ``log_evidence_replicates``).
 
-        Each cycle replaces the flow object, so the sampler and its
-        compiled programs are rebuilt per replicate — this tier trades
-        compile time for the honest bar. ``sample_kwargs`` are passed
-        to :meth:`sample_posterior` verbatim (``sampler=``,
-        ``sampler_kwargs=``, ...); PT runs are combined on their
-        stepping-stone estimate.
+        Each cycle re-initializes the flow's parameters IN PLACE
+        (:meth:`Flow.reinitialize`): params are traced arguments of the
+        compiled sampler programs, so the refit replicates share every
+        compiled program — the honest bar costs k fits, not k compiles.
+        ``sample_kwargs`` are passed to :meth:`sample_posterior`
+        verbatim (``sampler=``, ``sampler_kwargs=``, ...); PT runs are
+        combined on their stepping-stone estimate.
         """
         if n_replicates < 2:
             raise ValueError("n_replicates must be >= 2")
@@ -607,29 +608,25 @@ class Aspire:
         fit_kwargs = dict(fit_kwargs or {})
         logzs, errs = [], []
         result = None
-        saved_key = self.flow_kwargs.get("key")
-        try:
-            for r in range(n_replicates):
-                logger.info(
-                    "Pipeline replicate %d/%d", r + 1, n_replicates
-                )
-                if refit_flow:
-                    self.flow_kwargs["key"] = base_seed + 101 + r
+        for r in range(n_replicates):
+            logger.info(
+                "Pipeline replicate %d/%d", r + 1, n_replicates
+            )
+            if refit_flow:
+                if self.flow is None:
                     self.init_flow()
-                    self.fit(self.training_samples, **fit_kwargs)
-                result = self.sample_posterior(**sample_kwargs)
-                if sampler_name in ("ptmcmc", "parallel_tempered"):
-                    lz, err = result.log_evidence_stepping_stone()
-                else:
-                    lz = float(result.log_evidence)
-                    err = float(result.log_evidence_error)
-                logzs.append(float(lz))
-                errs.append(float(err))
-        finally:
-            if saved_key is None:
-                self.flow_kwargs.pop("key", None)
+                self.flow.reinitialize(base_seed + 101 + r)
+                self.fit(
+                    self.training_samples, overwrite=True, **fit_kwargs
+                )
+            result = self.sample_posterior(**sample_kwargs)
+            if sampler_name in ("ptmcmc", "parallel_tempered"):
+                lz, err = result.log_evidence_stepping_stone()
             else:
-                self.flow_kwargs["key"] = saved_key
+                lz = float(result.log_evidence)
+                err = float(result.log_evidence_error)
+            logzs.append(float(lz))
+            errs.append(float(err))
         return combine_replicates(result, logzs, errs, "pipeline")
 
     # -- pool ---------------------------------------------------------------

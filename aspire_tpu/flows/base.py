@@ -102,6 +102,22 @@ class Flow:
         self._key, sub = jax.random.split(self._key)
         return sub
 
+    def reinitialize(self, key: jax.Array | int | None = None) -> None:
+        """Fresh parameter draw from the init distribution, in place.
+
+        Keeps the flow OBJECT alive: params are traced arguments of
+        every compiled sampler program, so re-initializing in place
+        (unlike replacing the flow) triggers no recompiles. Used by
+        ``Aspire.replicated_evidence``'s flow-refit cycles, where each
+        replicate needs an independent fit seed.
+        """
+        if key is None:
+            key = self.next_key()
+        elif isinstance(key, int):
+            key = jax.random.key(key)
+        self._key, init_key = jax.random.split(key)
+        self.params = self.architecture.init(init_key)
+
     # -- densities ---------------------------------------------------------
 
     def log_prob(self, x) -> jax.Array:

@@ -812,6 +812,7 @@ class SMCSampler(Sampler):
         n_steps = int(
             self.sampler_kwargs.get("n_steps") or 5 * self.dims
         )
+        waste_free = bool(self.sampler_kwargs.get("waste_free", False))
         if self._adaptive_target_efficiency:
             eff_lo, eff_hi = self._target_efficiency
         else:
@@ -822,18 +823,27 @@ class SMCSampler(Sampler):
         # history buffers to the host each temperature step. The sink
         # is read at call time so the compiled ladder stays cached
         # across runs with and without checkpointing enabled.
-        # io_callback gathers its operands to one device (a maximal
-        # sharding), which cannot work on a multi-controller mesh —
-        # there the in-loop checkpoints are skipped (the final
-        # checkpoint is still written shard-wise per process).
         if checkpoint_callback is not None and jax.process_count() > 1:
-            logger.warning(
-                "Per-iteration device-ladder checkpoints are disabled "
-                "on a multi-process mesh (io_callback would gather the "
-                "global population to one device); a final shard-wise "
-                "checkpoint is still written."
+            # io_callback would gather the globally-sharded population
+            # to one device, which a multi-controller mesh cannot do
+            # (and this stack's runtime rejects host send/recv under
+            # shard_map outright). Instead: run the compiled ladder in
+            # checkpoint_every-sized chunks and write shard-LOCAL
+            # checkpoints between dispatches with the proven per-process
+            # writer — per-iteration fault tolerance at pod scale.
+            return self._run_device_ladder_chunked(
+                samples,
+                n_steps=n_steps,
+                waste_free=waste_free,
+                min_beta_step=min_beta_step,
+                max_beta_step=max_beta_step,
+                beta_tolerance=beta_tolerance,
+                max_iters=max_iters,
+                chunk=max(int(checkpoint_every or 1), 1),
+                checkpoint_callback=checkpoint_callback,
+                eff_lo=eff_lo,
+                eff_hi=eff_hi,
             )
-            checkpoint_callback = None
         self._ladder_checkpoint_sink = checkpoint_callback
         self._ladder_store_history = store_history
         self._ladder_checkpoint_every = checkpoint_every
@@ -842,7 +852,6 @@ class SMCSampler(Sampler):
         self._ladder_base_evals = self.n_likelihood_evaluations
         self._ladder_n_steps = n_steps
 
-        waste_free = bool(self.sampler_kwargs.get("waste_free", False))
         ladder = self._build_device_ladder(
             n_steps,
             max_iters,
@@ -873,6 +882,8 @@ class SMCSampler(Sampler):
             jnp.asarray(
                 self.target_efficiency_rate, dtype=samples.x.dtype
             ),
+            jnp.asarray(max_iters, jnp.int32),
+            jnp.asarray(-1.0, dtype=samples.x.dtype),
         )
         # One host fetch for every scalar + history buffer.
         scalars = jax.device_get(
@@ -955,6 +966,187 @@ class SMCSampler(Sampler):
         self._ladder_checkpoint_sink = None
         self._ladder_store_history = False
         return new, it
+
+    def _run_device_ladder_chunked(
+        self,
+        samples: SMCSamples,
+        *,
+        n_steps: int,
+        waste_free: bool,
+        min_beta_step: float,
+        max_beta_step: float,
+        beta_tolerance: float,
+        max_iters: int,
+        chunk: int,
+        checkpoint_callback,
+        eff_lo: float,
+        eff_hi: float,
+    ) -> tuple[SMCSamples, int]:
+        """Compiled ladder with shard-local checkpoints on a pod.
+
+        Runs the same compiled while_loop program in ``chunk``-sized
+        dispatches; between dispatches every process writes ITS OWN
+        population shard through ``checkpoint_callback`` (the
+        ``save_checkpoint_to_hdf`` per-process contract) — no global
+        gather ever happens, so per-iteration fault tolerance survives
+        multi-controller meshes. One program is compiled (buffer =
+        ``chunk``): the final partial chunk re-uses it via the traced
+        ``iter_cap`` operand, and kernel step-size adaptation carries
+        across chunks via the traced ``step0`` operand.
+        """
+        chunk = min(chunk, max_iters)
+        ladder = self._build_device_ladder(
+            n_steps,
+            chunk,
+            with_checkpoint=False,
+            waste_free=waste_free,
+        )
+        dtype = samples.x.dtype
+        n = len(samples)
+        x, ll, lpi, lq = (
+            samples.x,
+            samples.log_likelihood,
+            samples.log_prior,
+            samples.log_q,
+        )
+        beta = jnp.asarray(samples.beta or 0.0, dtype=dtype)
+        f_lin = jnp.asarray(
+            getattr(self, "_lineage_fraction", 1.0), dtype=dtype
+        )
+        key = self.next_key()
+        min_step = jnp.asarray(min_beta_step, dtype=dtype)
+        step = jnp.asarray(-1.0, dtype=dtype)
+        total_it = 0
+        beta_host = float(samples.beta or 0.0)
+        with self.profiler.phase("ladder"):
+            while True:
+                cap = min(chunk, max_iters - total_it)
+                out = ladder(
+                    self.flow_state(),
+                    x,
+                    ll,
+                    lpi,
+                    lq,
+                    beta,
+                    f_lin,
+                    key,
+                    min_step,
+                    jnp.asarray(max_beta_step, dtype=dtype),
+                    jnp.asarray(beta_tolerance, dtype=dtype),
+                    jnp.asarray(eff_lo, dtype=dtype),
+                    jnp.asarray(eff_hi, dtype=dtype),
+                    jnp.asarray(
+                        self.target_efficiency_rate, dtype=dtype
+                    ),
+                    jnp.asarray(cap, jnp.int32),
+                    step,
+                )
+                (
+                    beta_host,
+                    it,
+                    stalled,
+                    beta_h,
+                    ess_h,
+                    ess1_h,
+                    ratio_h,
+                    var_h,
+                    acc_h,
+                    tau_h,
+                    lin_h,
+                    f_lin_host,
+                    ev_h,
+                ) = jax.device_get(
+                    (
+                        out["beta"],
+                        out["it"],
+                        out["stalled"],
+                        out["beta_h"],
+                        out["ess_h"],
+                        out["ess1_h"],
+                        out["ratio_h"],
+                        out["var_h"],
+                        out["acc_h"],
+                        out["tau_h"],
+                        out["lin_h"],
+                        out["f_lin"],
+                        out["ev_h"],
+                    )
+                )
+                it = int(it)
+                beta_host = float(beta_host)
+                # Replay BEFORE any stall error (same discipline as the
+                # single-dispatch path) and before the checkpoint, so
+                # the written history matches the written population.
+                self._replay_ladder_history(
+                    self.history,
+                    it,
+                    beta_h, ess_h, ess1_h, ratio_h, var_h, acc_h,
+                    tau_h, lin_h,
+                )
+                for i in range(it):
+                    logger.info(
+                        "it %d - beta: %.6g  ESS: %.1f (%.2f eff)  "
+                        "logZ ratio: %.3f",
+                        total_it + i + 1,
+                        float(beta_h[i]),
+                        float(ess_h[i]),
+                        float(ess_h[i]) / n,
+                        float(ratio_h[i]),
+                    )
+                self.n_likelihood_evaluations += int(
+                    sum(K.eval_counter_total(v) for v in ev_h[:it])
+                )
+                self._lineage_fraction = float(f_lin_host)
+                total_it += it
+                x, ll, lpi, lq = (
+                    out["x"], out["ll"], out["lpi"], out["lq"],
+                )
+                beta, f_lin = out["beta"], out["f_lin"]
+                key, min_step, step = (
+                    out["key"], out["min_step"], out["step"],
+                )
+                if bool(stalled):
+                    raise BetaScheduleError(
+                        "Device ladder stalled: beta did not increase. "
+                        "Consider adjusting beta_tolerance "
+                        f"({beta_tolerance}), min_beta_step "
+                        f"({min_beta_step}) or the target efficiency."
+                    )
+                # Shard-local checkpoint between dispatches: the live
+                # (sharded) arrays go into the state; serialization
+                # writes per-process shards.
+                snap = SMCSamples(
+                    x=x,
+                    beta=beta_host,
+                    dtype=self.dtype,
+                    parameters=self.parameters,
+                )
+                snap.log_likelihood = ll
+                snap.log_prior = lpi
+                snap.log_q = lq
+                state = self.build_checkpoint_state(
+                    snap,
+                    len(self.history.beta),
+                    meta={"beta": beta_host},
+                )
+                # Resume must continue from the ladder's own key stream,
+                # not the sampler-level key.
+                state["key"] = np.asarray(jax.random.key_data(key))
+                checkpoint_callback(state)
+                if beta_host >= 1.0 or total_it >= max_iters or it == 0:
+                    break
+        n_chains = n // n_steps if waste_free else n
+        self.profiler.add("particle_steps", total_it * n_steps * n_chains)
+        new = SMCSamples(
+            x=x,
+            beta=beta_host,
+            dtype=self.dtype,
+            parameters=self.parameters,
+        )
+        new.log_q = lq
+        new.log_prior = lpi
+        new.log_likelihood = ll
+        return new, total_it
 
     def _replay_ladder_history(
         self,
@@ -1118,6 +1310,12 @@ class SMCSampler(Sampler):
             eff_lo,
             eff_hi,
             eff_rate,
+            # Runtime iteration cap (<= max_iters buffer) and incoming
+            # adapted step size: traced so the chunked multi-process
+            # driver re-dispatches ONE compiled program for partial
+            # chunks and carries kernel adaptation across chunks.
+            iter_cap,
+            step0,
         ):
             n = x.shape[0]
             dtype = x.dtype
@@ -1128,7 +1326,7 @@ class SMCSampler(Sampler):
                 "lpi": lpi,
                 "lq": lq,
                 "beta": beta0.astype(dtype),
-                "step": jnp.asarray(-1.0, dtype),  # <0: use kernel default
+                "step": step0.astype(dtype),  # <0: use kernel default
                 "key": key,
                 "min_step": min_beta_step,
                 "it": jnp.asarray(0, jnp.int32),
@@ -1154,7 +1352,7 @@ class SMCSampler(Sampler):
 
             def cond(s):
                 return (
-                    (~s["done"]) & (~s["stalled"]) & (s["it"] < max_iters)
+                    (~s["done"]) & (~s["stalled"]) & (s["it"] < iter_cap)
                 )
 
             def body(s):
@@ -1661,18 +1859,14 @@ class SMCSampler(Sampler):
                 checkpoint_callback(state)
 
         if device_ladder is None:
+            # Per-iteration checkpoints work in every mode: in-loop
+            # io_callback single-controller, chunked dispatches with
+            # shard-local writes on multi-controller meshes.
             device_ladder = (
                 self.adaptive
                 and self.preconditioning_transform is None
                 and not store_sample_history
                 and self.target_is_jittable()
-                # In-loop io_callback checkpoints cannot run on a
-                # multi-controller mesh; keep the host ladder so
-                # per-iteration checkpoints still happen.
-                and (
-                    checkpoint_callback is None
-                    or jax.process_count() == 1
-                )
             )
             if device_ladder:
                 logger.info(

@@ -138,7 +138,17 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--n", type=int, default=16384)
     parser.add_argument("--k-sigma", type=float, default=5.0)
-    parser.add_argument("--min-tol", type=float, default=0.05)
+    # Round 4: tightened from 0.05 — the funnel's ~+0.05 flow-fit-seed
+    # systematic is now covered by refit replicates, not the floor.
+    parser.add_argument("--min-tol", type=float, default=0.02)
+    parser.add_argument(
+        "--funnel-replicates",
+        type=int,
+        default=3,
+        help="flow-refit pipeline replicates for the funnel gates "
+        "(the measured dominant systematic there is flow-fit seed "
+        "variation, invisible to a single fitted flow)",
+    )
     parser.add_argument(
         "--only",
         default=None,
@@ -158,6 +168,80 @@ def main() -> None:
 
     configure_logger("WARNING")
     failures = 0
+
+    def run_gate(asp, problem, true, sampler, kwargs, label, replicates=0):
+        """One (sampler, problem) gate; returns ok and prints a JSON line."""
+        extra = {}
+        n_req = args.n if sampler != "ptmcmc" else max(args.n // 32, 256)
+        try:
+            if replicates > 1:
+                # Flow-refit pipeline replicates: the sampler-level
+                # n_replicates (shared flow) is superseded — strip it.
+                kw = {
+                    k: v for k, v in kwargs.items() if k != "n_replicates"
+                }
+                post = asp.replicated_evidence(
+                    replicates,
+                    refit_flow=True,
+                    fit_kwargs={"n_epochs": 25, "batch_size": 512},
+                    sampler=sampler,
+                    n_samples=n_req,
+                    store_sample_history=False,
+                    **kw,
+                )
+                lz = float(post.log_evidence)
+                err = float(post.log_evidence_error)
+            else:
+                post = asp.sample_posterior(
+                    sampler=sampler,
+                    n_samples=n_req,
+                    store_sample_history=False,
+                    **kwargs,
+                )
+                if sampler == "ptmcmc":
+                    lz, err = post.log_evidence_stepping_stone()
+                else:
+                    lz = float(post.log_evidence)
+                    err = float(post.log_evidence_error)
+            if sampler == "ptmcmc":
+                ti_lz, ti_err = (
+                    post.log_evidence_thermodynamic_integration(
+                        method="total"
+                    )
+                )
+                extra["ti_total"] = [round(ti_lz, 4), round(ti_err, 4)]
+                extra["n_temperatures"] = len(post.betas)
+            tol = max(args.k_sigma * err, args.min_tol)
+            ok = abs(lz - true) < tol
+            history = getattr(asp.sampler, "history", None)
+            taus = getattr(history, "mcmc_autocorr", None)
+            if taus:
+                extra["mean_tau"] = round(float(np.mean(taus)), 3)
+            reps = getattr(post, "log_evidence_replicates", None)
+            if reps is not None:
+                extra["replicates"] = [round(v, 3) for v in reps]
+                extra["single_run_err"] = round(
+                    float(post.log_evidence_error_single), 4
+                )
+        except Exception as exc:  # noqa: BLE001
+            lz, err, ok = float("nan"), float("nan"), False
+            print(f"# {label} raised: {exc!r}", file=sys.stderr)
+        print(
+            json.dumps(
+                {
+                    "problem": type(problem).__name__,
+                    "sampler": label,
+                    "log_z": round(lz, 4),
+                    "log_z_err": round(err, 4),
+                    "true_log_z": round(true, 4),
+                    "ok": bool(ok),
+                    **extra,
+                }
+            ),
+            flush=True,
+        )
+        return ok
+
     for problem, init_fn in [
         (
             GaussianProblem(dims=4),
@@ -198,62 +282,73 @@ def main() -> None:
             flow_backend="nsf",
             seed=1,
         )
+        # The funnel's dominant systematic is flow-fit seed variation
+        # (a measured A/B, see TODO.md): every funnel gate runs the
+        # flow-refit pipeline-replicate tier so its bar covers it.
+        is_funnel = type(problem).__name__ == "FunnelProblem"
+        replicates = args.funnel_replicates if is_funnel else 0
+        suffix = f"+refit{replicates}" if replicates > 1 else ""
+        todo = [
+            (sampler, kwargs, _label(sampler, kwargs) + suffix)
+            for sampler, kwargs in SAMPLERS
+            if not args.only
+            or args.only in _label(sampler, kwargs) + suffix
+        ]
+        if not todo:
+            continue
         asp.fit(Samples(init_fn(rng)), n_epochs=25, batch_size=512)
         true = analytic_log_z(problem)
-        for sampler, kwargs in SAMPLERS:
-            label = _label(sampler, kwargs)
-            if args.only and args.only not in label:
-                continue
-            extra = {}
-            n_req = args.n if sampler != "ptmcmc" else max(args.n // 32, 256)
-            try:
-                post = asp.sample_posterior(
-                    sampler=sampler,
-                    n_samples=n_req,
-                    store_sample_history=False,
-                    **kwargs,
-                )
-                if sampler == "ptmcmc":
-                    lz, err = post.log_evidence_stepping_stone()
-                    ti_lz, ti_err = (
-                        post.log_evidence_thermodynamic_integration(
-                            method="total"
-                        )
-                    )
-                    extra["ti_total"] = [round(ti_lz, 4), round(ti_err, 4)]
-                    extra["n_temperatures"] = len(post.betas)
-                else:
-                    lz = float(post.log_evidence)
-                    err = float(post.log_evidence_error)
-                tol = max(args.k_sigma * err, args.min_tol)
-                ok = abs(lz - true) < tol
-                history = getattr(asp.sampler, "history", None)
-                taus = getattr(history, "mcmc_autocorr", None)
-                if taus:
-                    extra["mean_tau"] = round(float(np.mean(taus)), 3)
-                reps = getattr(post, "log_evidence_replicates", None)
-                if reps is not None:
-                    extra["replicates"] = [round(v, 3) for v in reps]
-                    extra["single_run_err"] = round(
-                        float(post.log_evidence_error_single), 4
-                    )
-            except Exception as exc:  # noqa: BLE001
-                lz, err, ok = float("nan"), float("nan"), False
-                print(f"# {label} raised: {exc!r}", file=sys.stderr)
-            failures += not ok
-            print(
-                json.dumps(
-                    {
-                        "problem": type(problem).__name__,
-                        "sampler": label,
-                        "log_z": round(lz, 4),
-                        "log_z_err": round(err, 4),
-                        "true_log_z": round(true, 4),
-                        "ok": bool(ok),
-                        **extra,
-                    }
-                ),
-                flush=True,
+        for sampler, kwargs, label in todo:
+            failures += not run_gate(
+                asp, problem, true, sampler, kwargs, label,
+                replicates=replicates,
+            )
+
+    # CNF (flow-matching) gates: the one flow family whose log_prob is
+    # an ODE-quadrature approximation (RK4 transport + exact-divergence
+    # augmentation, flows/matching.py) gets its own end-to-end accuracy
+    # gates. Importance weights consume the approximate log_prob
+    # directly; SMC additionally stresses it inside the tempering loop.
+    for problem, init_fn in [
+        (
+            GaussianProblem(dims=4),
+            lambda rng: rng.normal(1.0, 1.2, size=(8192, 4)),
+        ),
+        (
+            GaussianMixtureProblem(dims=4),
+            lambda rng: GaussianMixtureProblem(
+                dims=4
+            ).draw_initial_samples(rng, 8192),
+        ),
+    ]:
+        todo = [
+            (sampler, kwargs, _label(sampler, kwargs) + "+cnf")
+            for sampler, kwargs in [
+                ("importance", {}),
+                ("smc", {"sampler_kwargs": {"n_steps": 20}}),
+            ]
+            if not args.only
+            or args.only in _label(sampler, kwargs) + "+cnf"
+        ]
+        if not todo:
+            continue
+        rng = np.random.default_rng(0)
+        asp = Aspire(
+            log_likelihood=problem.log_likelihood,
+            log_prior=problem.log_prior,
+            dims=problem.dims,
+            prior_bounds=problem.prior_bounds,
+            flow_matching=True,
+            n_steps=64,
+            seed=1,
+        )
+        # CFM velocity-field regression needs a longer schedule than
+        # the NSF's 25 epochs to tighten the transport map.
+        asp.fit(Samples(init_fn(rng)), n_epochs=120, batch_size=512)
+        true = analytic_log_z(problem)
+        for sampler, kwargs, label in todo:
+            failures += not run_gate(
+                asp, problem, true, sampler, kwargs, label
             )
     sys.exit(1 if failures else 0)
 

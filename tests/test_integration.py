@@ -11,6 +11,7 @@ gap).
 import math
 
 import h5py
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -962,6 +963,10 @@ def test_replicated_evidence_flow_refit(initial_samples):
         asp.replicated_evidence(2)
     asp.fit(initial_samples, n_epochs=8, batch_size=256)
     flow_before = asp.flow
+    params_before = jnp.copy(
+        jax.tree_util.tree_leaves(asp.flow.params)[0]
+    )
+    gen_before = asp._flow_generation
     post = asp.replicated_evidence(
         3,
         fit_kwargs={"n_epochs": 8, "batch_size": 256},
@@ -969,7 +974,14 @@ def test_replicated_evidence_flow_refit(initial_samples):
         n_samples=256,
         sampler_kwargs={"n_steps": 8},
     )
-    assert asp.flow is not flow_before  # genuinely refit
+    # Refits happen IN PLACE: same flow object (so the compiled sampler
+    # programs survive every replicate), but genuinely new parameters.
+    assert asp.flow is flow_before
+    assert asp._flow_generation == gen_before
+    assert not np.allclose(
+        np.asarray(jax.tree_util.tree_leaves(asp.flow.params)[0]),
+        np.asarray(params_before),
+    )
     assert post.log_evidence_replicates.shape == (3,)
     # Three INDEPENDENT fits cannot produce identical logZ.
     assert np.std(post.log_evidence_replicates) > 0
