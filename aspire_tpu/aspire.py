@@ -616,9 +616,10 @@ class Aspire:
                 if self.flow is None:
                     self.init_flow()
                 self.flow.reinitialize(base_seed + 101 + r)
-                self.fit(
-                    self.training_samples, overwrite=True, **fit_kwargs
-                )
+                # overwrite: a checkpointed-flow skip must not silently
+                # turn the refit replicates into reruns of one fit.
+                fit_kwargs.setdefault("overwrite", True)
+                self.fit(self.training_samples, **fit_kwargs)
             result = self.sample_posterior(**sample_kwargs)
             if sampler_name in ("ptmcmc", "parallel_tempered"):
                 lz, err = result.log_evidence_stepping_stone()

@@ -291,6 +291,25 @@ def nsf(dims: int, **kwargs) -> Coupling:
     return Coupling(dims=dims, **kwargs)
 
 
+def nsf_tpu(dims: int, **kwargs) -> Coupling:
+    """TPU-tuned NSF preset from the round-4 Pareto sweep.
+
+    3 coupling layers x (64, 64) hidden x 8 bins: +21% mutation
+    throughput over the reference-era 4-layer default at statistically
+    indistinguishable gate margins under the flow-refit replicate bar
+    (benchmarks/dev/flow_pareto.py + flow_pareto_refit.py; table in
+    benchmarks/RESULTS.md). Every smaller config (2 layers, 4 bins, or
+    32-wide hidden) fails the funnel gate under that bar, and
+    throughput saturates at ~1.5x regardless — so this is the Pareto
+    knee, not a compromise pick. Explicit kwargs still override.
+    """
+    kwargs.setdefault("transformer", "rqs")
+    kwargs.setdefault("n_layers", 3)
+    kwargs.setdefault("n_hidden", (64, 64))
+    kwargs.setdefault("num_bins", 8)
+    return Coupling(dims=dims, **kwargs)
+
+
 def maf(dims: int, **kwargs) -> MAF:
     kwargs.setdefault("transformer", "affine")
     return MAF(dims=dims, **kwargs)
@@ -305,6 +324,7 @@ ARCHITECTURES = {
     "maf": maf,
     "maf-rqs": maf_rqs,
     "nsf": nsf,
+    "nsf-tpu": nsf_tpu,
     "realnvp": realnvp,
     "coupling": nsf,
 }

@@ -34,7 +34,20 @@ def _log(*args):
 _PIPELINE_S = None  # set by correctness_anchor
 
 
-def build_workload(n_particles: int, dims: int = 4, n_steps: int = 20):
+# The benchmarked flow configuration: the TPU-tuned preset promoted by
+# the round-4 Pareto sweep (benchmarks/dev/flow_pareto.py +
+# flow_pareto_refit.py; table in benchmarks/RESULTS.md). The CPU
+# baseline subprocess uses the same config, so vs_baseline stays an
+# identical-workload comparison.
+BENCH_FLOW_KWARGS = {"architecture": "nsf-tpu", "key": 0}
+
+
+def build_workload(
+    n_particles: int,
+    dims: int = 4,
+    n_steps: int = 20,
+    flow_kwargs: dict | None = None,
+):
     import jax
     import jax.numpy as jnp
 
@@ -44,13 +57,7 @@ def build_workload(n_particles: int, dims: int = 4, n_steps: int = 20):
     from aspire_tpu.flows.bijectors import standard_normal_log_prob
 
     problem = GaussianMixtureProblem(dims=dims)
-    flow = Flow(
-        dims=dims,
-        architecture="nsf",
-        key=0,
-        n_layers=4,
-        n_hidden=(64, 64),
-    )
+    flow = Flow(dims=dims, **(flow_kwargs or BENCH_FLOW_KWARGS))
     arch = flow.architecture
     data_transform = flow.data_transform
     # Perturb away from the zero-init identity so the benchmark exercises
@@ -100,7 +107,10 @@ def build_workload(n_particles: int, dims: int = 4, n_steps: int = 20):
 
 
 def measure_rate(
-    n_particles: int, n_steps: int = 200, reps: int = 5
+    n_particles: int,
+    n_steps: int = 200,
+    reps: int = 5,
+    flow_kwargs: dict | None = None,
 ) -> float:
     """Median mutation throughput in particle-steps/s.
 
@@ -116,7 +126,7 @@ def measure_rate(
     import jax
 
     mutate, params, x, beta, key, n_steps = build_workload(
-        n_particles, n_steps=n_steps
+        n_particles, n_steps=n_steps, flow_kwargs=flow_kwargs
     )
     out = mutate(params, x, beta, key, n_steps=n_steps)
     np.asarray(out[0][0, 0])  # warmup/compile + hard sync
@@ -136,7 +146,9 @@ V5E_PEAK_BF16_TFLOPS = 197.0
 V5E_PEAK_HBM_GBS = 819.0
 
 
-def roofline_model(n_particles: int, dims: int = 4) -> dict:
+def roofline_model(
+    n_particles: int, dims: int = 4, flow_kwargs: dict | None = None
+) -> dict:
     """Analytic bytes/FLOPs per particle-step for the mutation kernel.
 
     XLA's ``cost_analysis`` does not multiply through scan bodies on
@@ -156,10 +168,7 @@ def roofline_model(n_particles: int, dims: int = 4) -> dict:
     """
     from aspire_tpu.flows import Flow
 
-    flow = Flow(
-        dims=dims, architecture="nsf", key=0, n_layers=4,
-        n_hidden=(64, 64),
-    )
+    flow = Flow(dims=dims, **(flow_kwargs or BENCH_FLOW_KWARGS))
     import jax
 
     matmul_flops = 0
@@ -221,6 +230,7 @@ def correctness_anchor() -> dict:
         dims=4,
         parameters=p.parameters,
         flow_backend="nsf",
+        architecture="nsf-tpu",
         seed=1,
     )
     asp.fit(init, n_epochs=20, batch_size=512, learning_rate=3e-3)

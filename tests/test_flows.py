@@ -113,6 +113,27 @@ class TestArchitectures:
             _, expected = np.linalg.slogdet(np.asarray(jac))
             assert float(ld[i]) == pytest.approx(float(expected), abs=1e-7)
 
+    def test_nsf_tpu_preset(self, key):
+        """Round-4 TPU-tuned preset: 3 x (64,64) x 8 bins RQS coupling,
+        overridable per kwarg, exact forward/inverse roundtrip."""
+        arch = get_architecture("nsf-tpu", 4)
+        assert (arch.n_layers, arch.n_hidden, arch.num_bins) == (
+            3, (64, 64), 8,
+        )
+        assert arch.transformer == "rqs"
+        # Explicit kwargs override the preset defaults.
+        assert get_architecture("nsf-tpu", 4, n_layers=5).n_layers == 5
+        params = arch.init(key)
+        x = jax.random.normal(jax.random.fold_in(key, 9), (16, 4))
+        z, ld = arch.forward(params, x)
+        x2, ld_inv = arch.inverse(params, z)
+        np.testing.assert_allclose(
+            np.asarray(x2), np.asarray(x), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(ld + ld_inv), 0.0, atol=1e-5
+        )
+
     def test_identity_at_init(self, key):
         """Zero-initialized output layers make the flow start near id."""
         d = 4
