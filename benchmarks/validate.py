@@ -55,8 +55,13 @@ SAMPLERS = [
     # temperatures x steps is the actual sample budget). NOTE: PT
     # options are top-level sample() kwargs — `sampler_kwargs` is the
     # SMC mutation-kernel channel only.
+    # n_steps=800: a measured A/B on the Rosenbrock banana
+    # (benchmarks/dev/pt_rosenbrock_ab.py) pinned a +0.044 stepping-
+    # stone bias to per-rung chain EQUILIBRATION (800 steps -> +0.013;
+    # more rungs/pilots/walkers barely moved it) — the tightened 0.02
+    # floor exposed it at production walker counts.
     ("ptmcmc", {
-        "n_steps": 400,
+        "n_steps": 800,
         "n_temperatures": 12,
         "betas": "adaptive",
         "swap_every": 5,
