@@ -608,26 +608,36 @@ class Aspire:
         fit_kwargs = dict(fit_kwargs or {})
         logzs, errs = [], []
         result = None
-        for r in range(n_replicates):
-            logger.info(
-                "Pipeline replicate %d/%d", r + 1, n_replicates
-            )
-            if refit_flow:
-                if self.flow is None:
-                    self.init_flow()
-                self.flow.reinitialize(base_seed + 101 + r)
-                # overwrite: a checkpointed-flow skip must not silently
-                # turn the refit replicates into reruns of one fit.
-                fit_kwargs.setdefault("overwrite", True)
-                self.fit(self.training_samples, **fit_kwargs)
-            result = self.sample_posterior(**sample_kwargs)
-            if sampler_name in ("ptmcmc", "parallel_tempered"):
-                lz, err = result.log_evidence_stepping_stone()
-            else:
-                lz = float(result.log_evidence)
-                err = float(result.log_evidence_error)
-            logzs.append(float(lz))
-            errs.append(float(err))
+        # Replicate refits are DIAGNOSTIC: they must never touch the
+        # user's checkpoint file (fit() would otherwise route writes
+        # through the active policy and clobber the primary fitted
+        # flow on disk). Stash the policy for the duration.
+        saved_policy = self._checkpoints
+        self._checkpoints = None
+        # overwrite: a checkpointed-flow skip must not silently turn
+        # the refit replicates into reruns of one fit (training only —
+        # no file is written with the policy stashed).
+        fit_kwargs.setdefault("overwrite", True)
+        try:
+            for r in range(n_replicates):
+                logger.info(
+                    "Pipeline replicate %d/%d", r + 1, n_replicates
+                )
+                if refit_flow:
+                    if self.flow is None:
+                        self.init_flow()
+                    self.flow.reinitialize(base_seed + 101 + r)
+                    self.fit(self.training_samples, **fit_kwargs)
+                result = self.sample_posterior(**sample_kwargs)
+                if sampler_name in ("ptmcmc", "parallel_tempered"):
+                    lz, err = result.log_evidence_stepping_stone()
+                else:
+                    lz = float(result.log_evidence)
+                    err = float(result.log_evidence_error)
+                logzs.append(float(lz))
+                errs.append(float(err))
+        finally:
+            self._checkpoints = saved_policy
         return combine_replicates(result, logzs, errs, "pipeline")
 
     # -- pool ---------------------------------------------------------------

@@ -1105,16 +1105,12 @@ class SMCSampler(Sampler):
                 key, min_step, step = (
                     out["key"], out["min_step"], out["step"],
                 )
-                if bool(stalled):
-                    raise BetaScheduleError(
-                        "Device ladder stalled: beta did not increase. "
-                        "Consider adjusting beta_tolerance "
-                        f"({beta_tolerance}), min_beta_step "
-                        f"({min_beta_step}) or the target efficiency."
-                    )
                 # Shard-local checkpoint between dispatches: the live
                 # (sharded) arrays go into the state; serialization
-                # writes per-process shards.
+                # writes per-process shards. Written BEFORE any stall
+                # error so the completed rungs of a stalling chunk are
+                # persisted (parity with the in-loop io_callback path,
+                # which posts every completed rung).
                 snap = SMCSamples(
                     x=x,
                     beta=beta_host,
@@ -1133,6 +1129,13 @@ class SMCSampler(Sampler):
                 # not the sampler-level key.
                 state["key"] = np.asarray(jax.random.key_data(key))
                 checkpoint_callback(state)
+                if bool(stalled):
+                    raise BetaScheduleError(
+                        "Device ladder stalled: beta did not increase. "
+                        "Consider adjusting beta_tolerance "
+                        f"({beta_tolerance}), min_beta_step "
+                        f"({min_beta_step}) or the target efficiency."
+                    )
                 if beta_host >= 1.0 or total_it >= max_iters or it == 0:
                     break
         n_chains = n // n_steps if waste_free else n
@@ -1192,18 +1195,20 @@ class SMCSampler(Sampler):
         if store:
             # Per-rung population snapshot (every iteration, no
             # cadence filter — matching the host ladder's appends).
+            # io_callback already delivered HOST numpy arrays; keep
+            # them host-resident by overwriting the constructor's
+            # device-promoted fields (no device round-trips per rung).
             snap = SMCSamples(
                 x=np.asarray(x),
                 beta=float(beta),
                 dtype=self.dtype,
                 parameters=self.parameters,
             )
-            snap.log_likelihood = np.asarray(ll)
-            snap.log_prior = np.asarray(lpi)
-            snap.log_q = np.asarray(lq)
-            # Constructors promote to device arrays; history snapshots
-            # are host-side (matching the host ladder's appends).
-            self.history.sample_history.append(snap.to_numpy())
+            snap.x = np.asarray(x, dtype=snap.dtype)
+            snap.log_likelihood = np.asarray(ll, dtype=snap.dtype)
+            snap.log_prior = np.asarray(lpi, dtype=snap.dtype)
+            snap.log_q = np.asarray(lq, dtype=snap.dtype)
+            self.history.sample_history.append(snap)
         if sink is None:
             return
         every = getattr(self, "_ladder_checkpoint_every", 1) or 1

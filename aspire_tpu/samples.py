@@ -805,7 +805,7 @@ class PTMCMCSamples(MCMCSamples):
         return self.at_temperature(0)
 
     def subsample(
-        self, n: int, key: jax.Array | None = None, rng=None
+        self, n: int, rng=None, *, key: jax.Array | None = None
     ) -> "PTMCMCSamples":
         """Randomly subsample ``n`` (step, walker) entries per temperature.
 

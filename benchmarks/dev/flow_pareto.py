@@ -9,8 +9,11 @@ keeps the statistical gates at unchanged margins (the flow is the
 beta=0 proposal and independence-move kernel, not the estimator).
 
 Phase 1 (rate): mutation throughput of each config at the headline
-workload (n=131072, 500 in-jit steps, median of reps), interleaved in
-one process so tunnel-phase drift hits every config equally.
+workload (n=131072, 500 in-jit steps, median of reps). Configs are
+measured SEQUENTIALLY in one process back-to-back — each config's
+median-of-reps absorbs dispatch jitter, but minute-scale tunnel phase
+drift (~10%) is NOT controlled across configs; the promotion decision
+only leans on differences well above that (21-57%).
 Phase 2 (gate): fit each config on the mixture + funnel targets and run
 the production SMC gate (n=16384, 20 steps); report |logZ - truth| and
 the delta-method error.
@@ -49,9 +52,6 @@ def phase_rate():
     import bench
 
     rows = {}
-    # Interleave: one warm rep per config first (compile), then timed
-    # passes round-robin — the tunnel's minute-scale RTT drift hits all
-    # configs equally.
     for name, cfg in CONFIGS.items():
         rate = bench.measure_rate(
             n_particles=131072,

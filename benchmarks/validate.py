@@ -293,11 +293,23 @@ def main() -> None:
         is_funnel = type(problem).__name__ == "FunnelProblem"
         replicates = args.funnel_replicates if is_funnel else 0
         suffix = f"+refit{replicates}" if replicates > 1 else ""
+
+        def eff_label(sampler, kwargs):
+            label = _label(sampler, kwargs)
+            if replicates > 1:
+                # run_gate strips the sampler-level n_replicates (the
+                # refit tier supersedes it); the label must not claim a
+                # jackknife that never ran. Keep the configs distinct:
+                # these rows are the deliberately short-chain ones.
+                k = kwargs.get("n_replicates")
+                label = label.replace(f"+jackknife{k}", "+shortchain")
+                label += suffix
+            return label
+
         todo = [
-            (sampler, kwargs, _label(sampler, kwargs) + suffix)
+            (sampler, kwargs, eff_label(sampler, kwargs))
             for sampler, kwargs in SAMPLERS
-            if not args.only
-            or args.only in _label(sampler, kwargs) + suffix
+            if not args.only or args.only in eff_label(sampler, kwargs)
         ]
         if not todo:
             continue

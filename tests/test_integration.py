@@ -368,6 +368,47 @@ def test_flow_replacement_invalidates_sampler_cache(initial_samples):
     assert asp._sampler is not first
 
 
+def test_replicated_evidence_preserves_checkpointed_flow(
+    initial_samples, tmp_path
+):
+    """Round-4 review fix: the refit replicates are diagnostic — they
+    must not rewrite the user's primary fitted flow in the active
+    checkpoint file."""
+    path = str(tmp_path / "run.h5")
+    asp = Aspire(
+        log_likelihood=log_likelihood,
+        log_prior=log_prior,
+        dims=DIMS,
+        prior_bounds={f"x_{i}": [-10, 10] for i in range(DIMS)},
+        seed=0,
+    )
+
+    def flow_bytes():
+        chunks = []
+        with h5py.File(path, "r") as f:
+            f["flow"].visititems(
+                lambda name, obj: chunks.append(
+                    np.asarray(obj[()]).tobytes()
+                )
+                if isinstance(obj, h5py.Dataset)
+                else None
+            )
+        return b"".join(chunks)
+
+    with asp.auto_checkpoint(path):
+        asp.fit(initial_samples, n_epochs=3, batch_size=256)
+        before = flow_bytes()
+        post = asp.replicated_evidence(
+            2,
+            fit_kwargs={"n_epochs": 2, "batch_size": 256},
+            sampler="importance",
+            n_samples=64,
+        )
+        assert post.log_evidence_replicates.shape == (2,)
+        # In-memory flow WAS refit (diagnostic), the file was NOT.
+        assert flow_bytes() == before
+
+
 def test_likelihood_hole_robustness(initial_samples):
     """NaN/inf holes in the likelihood are discarded or rejected
     (reference test_integration.py:131-166)."""
