@@ -163,9 +163,11 @@ def worker(args) -> int:
     run_kwargs = dict(
         sampler_kwargs=mutation_kwargs,
         store_sample_history=False,
-        # io_callback checkpoints are single-controller; the drill
-        # below uses the host ladder's shard-wise path instead.
-        device_ladder=n_proc == 1,
+        # Auto-select takes the single-dispatch compiled ladder at any
+        # controller count (round 4: the multi-controller compiled
+        # ladder is proven by tests/workers/mp_ladder_worker.py, and
+        # per-iteration checkpoints now chunk with shard-local writes).
+        device_ladder=None,
     )
     out = sampler.sample(n, **run_kwargs)
     walls, iters = [], 0
