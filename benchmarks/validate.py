@@ -159,6 +159,11 @@ def main() -> None:
         default=None,
         help="substring filter on the sampler label (targeted re-runs)",
     )
+    parser.add_argument(
+        "--problems",
+        default=None,
+        help="substring filter on the problem class name",
+    )
     args = parser.parse_args()
 
     import numpy as np
@@ -278,6 +283,8 @@ def main() -> None:
             ),
         ),
     ]:
+        if args.problems and args.problems not in type(problem).__name__:
+            continue
         rng = np.random.default_rng(0)
         asp = Aspire(
             log_likelihood=problem.log_likelihood,
@@ -338,6 +345,8 @@ def main() -> None:
             ).draw_initial_samples(rng, 8192),
         ),
     ]:
+        if args.problems and args.problems not in type(problem).__name__:
+            continue
         todo = [
             (sampler, kwargs, _label(sampler, kwargs) + "+cnf")
             for sampler, kwargs in [

@@ -14,8 +14,15 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", True)
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+# NO persistent compilation cache. Two distinct jaxlib crashes were
+# observed with one enabled on this stack (round 4): (a) XLA:CPU AOT
+# executables are machine-feature-specialized, so a cache written by a
+# different host SIGSEGVs in get_executable_and_time on load; (b) the
+# explicit-collective resamplers' 8-device executables intermittently
+# SIGSEGV in put_executable_and_time while SERIALIZING — and the cache
+# cannot be disabled per-module once initialized (jax latches it at
+# first use). Determinism beats repeat-run compile savings here.
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
