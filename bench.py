@@ -47,6 +47,7 @@ def build_workload(
     dims: int = 4,
     n_steps: int = 20,
     flow_kwargs: dict | None = None,
+    prng_impl: str | None = None,
 ):
     import jax
     import jax.numpy as jnp
@@ -101,7 +102,11 @@ def build_workload(
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(n_particles, dims)), dtype=jnp.float32)
-    key = jax.random.key(1)
+    key = (
+        jax.random.key(1)
+        if prng_impl is None
+        else jax.random.key(1, impl=prng_impl)
+    )
     beta = jnp.asarray(0.5, dtype=jnp.float32)
     return mutate, flow.params, x, beta, key, n_steps
 
@@ -111,6 +116,7 @@ def measure_rate(
     n_steps: int = 200,
     reps: int = 5,
     flow_kwargs: dict | None = None,
+    prng_impl: str | None = None,
 ) -> float:
     """Median mutation throughput in particle-steps/s.
 
@@ -126,7 +132,10 @@ def measure_rate(
     import jax
 
     mutate, params, x, beta, key, n_steps = build_workload(
-        n_particles, n_steps=n_steps, flow_kwargs=flow_kwargs
+        n_particles,
+        n_steps=n_steps,
+        flow_kwargs=flow_kwargs,
+        prng_impl=prng_impl,
     )
     out = mutate(params, x, beta, key, n_steps=n_steps)
     np.asarray(out[0][0, 0])  # warmup/compile + hard sync
@@ -368,6 +377,22 @@ def main():
     rate = measure_rate(n_particles=n_particles, n_steps=n_steps, reps=5)
     _log(f"mutation rate: {rate:.3e} particle-steps/s @ n={n_particles}")
 
+    # Auxiliary: same workload with rbg keys (the documented opt-in
+    # PRNG, +14% measured round 4 — performance.md knob 3). Reported
+    # alongside; the headline stays on JAX's default threefry.
+    rate_rbg = None
+    if platform != "cpu":
+        try:
+            rate_rbg = measure_rate(
+                n_particles=n_particles,
+                n_steps=n_steps,
+                reps=3,
+                prng_impl="rbg",
+            )
+            _log(f"rbg opt-in rate: {rate_rbg:.3e} particle-steps/s")
+        except Exception as err:  # noqa: BLE001
+            _log(f"rbg measurement failed: {err}")
+
     model = roofline_model(n_particles)
     roofline = roofline_report(rate, model)
     _log(
@@ -429,6 +454,7 @@ def main():
         "flops_per_particle_step": model["flops_per_particle_step"],
         "bytes_per_particle_step": model["bytes_per_particle_step"],
         "pipeline_131072_s": _PIPELINE_S,
+        "rbg_opt_in_rate": rate_rbg,
     }
     if "--degraded-cpu" in sys.argv:
         # The device backend was unreachable for the whole wait window:
