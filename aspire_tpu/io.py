@@ -278,6 +278,37 @@ def save_sharded_array(h5_file, path: str, arr) -> None:
         ds.attrs["start"] = np.asarray(starts, dtype=np.int64)
 
 
+def save_shard_blocks(
+    h5_file, path: str, local, global_shape, starts, sizes
+) -> None:
+    """Write process-local row blocks of a globally sharded array.
+
+    ``local`` holds this process's rows (concatenated, block-major);
+    ``starts``/``sizes`` give each block's global row offset and length.
+    The on-disk format is exactly :func:`save_sharded_array`'s (one
+    hyperslab dataset per block, tagged with its global offset), so
+    :func:`load_sharded_array` reassembles across the per-process files
+    unchanged. Used by the shard-local sample-history checkpoints,
+    where the snapshot data is already host numpy rather than a live
+    ``jax.Array``.
+    """
+    local = np.asarray(local)
+    group = h5_file.require_group(path)
+    group.attrs["global_shape"] = np.asarray(global_shape, dtype=np.int64)
+    group.attrs["dtype"] = str(local.dtype)
+    row = 0
+    for start, size in zip(starts, sizes):
+        starts_nd = (int(start),) + (0,) * (local.ndim - 1)
+        name = "shard_p{}_{}".format(
+            jax.process_index(), "_".join(map(str, starts_nd))
+        )
+        if name in group:
+            del group[name]
+        ds = group.create_dataset(name, data=local[row : row + size])
+        ds.attrs["start"] = np.asarray(starts_nd, dtype=np.int64)
+        row += size
+
+
 def load_sharded_array(h5_files, path: str, sharding=None):
     """Reassemble an array saved with :func:`save_sharded_array`.
 

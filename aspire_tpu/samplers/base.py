@@ -105,6 +105,16 @@ class Sampler:
         Invertible map applied before MCMC mutation.
     rng : int | jax.Array | np.random.Generator, optional
         Seed / PRNG key for the sampler's random stream.
+    prng_impl : str, optional
+        JAX PRNG implementation for the sampler's key stream (e.g.
+        ``"rbg"``; default: JAX's default, threefry2x32). ``"rbg"`` is
+        measurably faster on TPU (+14% mutation throughput at the
+        ``nsf-tpu`` preset, BENCH_r04/r05) because its bit generation
+        is hardware-friendly, at a documented cost: the rbg BITSTREAM
+        is not guaranteed stable across XLA/jaxlib versions, so runs
+        are reproducible only within one software version (threefry is
+        stable across versions). Checkpoints record the impl and
+        resume validates it. Ignored when ``rng`` is already a key.
     """
 
     def __init__(
@@ -118,6 +128,7 @@ class Sampler:
         preconditioning_transform=None,
         rng: Any = None,
         mesh=None,
+        prng_impl: str | None = None,
     ):
         self.log_likelihood = log_likelihood
         self.log_prior = log_prior
@@ -127,7 +138,8 @@ class Sampler:
         self.parameters = parameters
         self.preconditioning_transform = preconditioning_transform
         self.n_likelihood_evaluations = 0
-        self.key = _as_key(rng)
+        self.prng_impl = prng_impl
+        self.key = _as_key(rng, impl=prng_impl)
         self.mesh = mesh
         # Phase wall-clock accumulator (§5 observability); SMC
         # re-assigns its own but every sampler gets one.
@@ -162,6 +174,15 @@ class Sampler:
     def next_key(self) -> jax.Array:
         self.key, sub = jax.random.split(self.key)
         return sub
+
+    def key_impl_name(self) -> str:
+        """Name of the PRNG implementation behind ``self.key``.
+
+        Derived from the key itself (not the constructor argument): a
+        key passed in as ``rng`` carries its own impl regardless of
+        ``prng_impl``, and this is the name checkpoints must record.
+        """
+        return str(jax.random.key_impl(self.key))
 
     # -- target evaluation -------------------------------------------------
 
@@ -448,6 +469,7 @@ class Sampler:
             "parameters": self.parameters,
             "meta": meta or {},
             "key": np.asarray(jax.random.key_data(self.key)),
+            "prng_impl": self.key_impl_name(),
             "n_likelihood_evaluations": self.n_likelihood_evaluations,
         }
         state.update(self._checkpoint_extra_state())
@@ -476,16 +498,41 @@ class Sampler:
         file (:func:`aspire_tpu.io.process_checkpoint_path`), followed
         by a cross-process write barrier.
         """
+        import copy as _copy
+
         from ..io import (
             AspireFile,
             checkpoint_barrier,
             process_checkpoint_path,
+            save_shard_blocks,
             save_sharded_array,
             save_state_bytes,
         )
 
         state = dict(state)
         samples = state.pop("samples", None)
+        # Shard-local sample-history snapshots (multi-process meshes;
+        # see SMCSampler._history_snapshot): every process writes its
+        # own per-rung row blocks as shard datasets, the blob keeps
+        # only the per-rung metadata, and loading reassembles the full
+        # populations across the per-process files.
+        history = state.get("history")
+        snaps = list(getattr(history, "sample_history", None) or [])
+        shard_snaps = None
+        if snaps and any(
+            getattr(s, "shard_starts", None) is not None for s in snaps
+        ):
+            shard_snaps = snaps
+            hist_copy = _copy.copy(history)
+            hist_copy.sample_history = []
+            state["history"] = hist_copy
+            state["history_shard_snapshots"] = [
+                {
+                    "class": type(s).__name__,
+                    "beta": getattr(s, "beta", None),
+                }
+                for s in snaps
+            ]
         target = process_checkpoint_path(file_path)
         with AspireFile(target, "a") as f:
             if samples is not None:
@@ -494,6 +541,21 @@ class Sampler:
                     if value is not None:
                         save_sharded_array(
                             f, f"{path}/arrays/{name}", value
+                        )
+            if shard_snaps is not None:
+                for i, snap in enumerate(shard_snaps):
+                    for name in self._CHECKPOINT_ARRAY_FIELDS:
+                        value = getattr(snap, name, None)
+                        if value is None:
+                            continue
+                        value = np.asarray(value)
+                        save_shard_blocks(
+                            f,
+                            f"{path}/history/sample_history/{i}/{name}",
+                            value,
+                            (snap.global_n,) + value.shape[1:],
+                            snap.shard_starts,
+                            snap.shard_sizes,
                         )
             if jax.process_index() == 0:
                 if samples is not None:
@@ -541,38 +603,69 @@ class Sampler:
         with h5py.File(file_path, "r") as f:
             state = pickle.loads(load_state_bytes(f, path=path))
         spec = state.pop("samples_spec", None)
-        if spec is None:
+        snap_specs = state.pop("history_shard_snapshots", None)
+        if spec is None and snap_specs is None:
             return state  # legacy layout: samples were in the blob
 
         from .. import samples as samples_module
+
+        def build_samples(klass_name, arrays, parameters, beta):
+            klass = getattr(samples_module, klass_name)
+            kwargs = dict(arrays)
+            kwargs["parameters"] = parameters
+            if beta is not None and hasattr(klass, "beta"):
+                kwargs["beta"] = beta
+            built = klass(**kwargs)
+            # Re-assign the raw arrays after construction:
+            # __post_init__ normalizes dtypes, but a checkpoint restore
+            # must hand back exactly the bytes that were saved (live
+            # samples may carry mixed precisions, e.g. f32 positions
+            # with f64 densities).
+            for name, value in arrays.items():
+                setattr(built, name, value)
+            return built
 
         files = [
             h5py.File(p, "r") for p in checkpoint_shard_files(file_path)
         ]
         try:
-            arrays = {}
-            for name in cls._CHECKPOINT_ARRAY_FIELDS:
-                array_path = f"{path}/arrays/{name}"
-                if any(array_path in f for f in files):
-                    arrays[name] = load_sharded_array(
-                        files, array_path, sharding=sharding
+
+            def load_fields(base_path, sharding):
+                arrays = {}
+                for name in cls._CHECKPOINT_ARRAY_FIELDS:
+                    array_path = f"{base_path}/{name}"
+                    if any(array_path in f for f in files):
+                        arrays[name] = load_sharded_array(
+                            files, array_path, sharding=sharding
+                        )
+                return arrays
+
+            if spec is not None:
+                state["samples"] = build_samples(
+                    spec["class"],
+                    load_fields(f"{path}/arrays", sharding),
+                    spec.get("parameters"),
+                    spec.get("beta"),
+                )
+            if snap_specs is not None and state.get("history") is not None:
+                # Shard-local sample history: reassemble each rung's
+                # full population across the per-process files (host
+                # numpy — these are plotting/diagnostic snapshots).
+                for i, sp in enumerate(snap_specs):
+                    arrays = load_fields(
+                        f"{path}/history/sample_history/{i}", None
+                    )
+                    state["history"].sample_history.append(
+                        build_samples(
+                            sp.get("class", "SMCSamples"),
+                            arrays,
+                            state.get("parameters"),
+                            sp.get("beta"),
+                        )
                     )
         finally:
             for f in files:
                 f.close()
-        klass = getattr(samples_module, spec["class"])
-        kwargs = dict(arrays)
-        kwargs["parameters"] = spec.get("parameters")
-        if spec.get("beta") is not None and hasattr(klass, "beta"):
-            kwargs["beta"] = spec["beta"]
-        samples = klass(**kwargs)
-        # Re-assign the raw arrays after construction: __post_init__
-        # normalizes dtypes, but a checkpoint restore must hand back
-        # exactly the bytes that were saved (live samples may carry
-        # mixed precisions, e.g. f32 positions with f64 densities).
-        for name, value in arrays.items():
-            setattr(samples, name, value)
-        state["samples"] = samples
         return state
 
     def _particle_sharding(self):
@@ -600,23 +693,33 @@ class Sampler:
             )
         samples = state["samples"]
         if state.get("key") is not None:
-            self.key = jax.random.wrap_key_data(jnp.asarray(state["key"]))
+            # Restore the key under the impl it was SAVED with (absent
+            # in pre-r5 checkpoints -> the default impl, matching their
+            # writers); the resumed run continues the exact stream.
+            self.key = jax.random.wrap_key_data(
+                jnp.asarray(state["key"]), impl=state.get("prng_impl")
+            )
         self.n_likelihood_evaluations = state.get(
             "n_likelihood_evaluations", self.n_likelihood_evaluations
         )
         return samples, state
 
 
-def _as_key(rng: Any) -> jax.Array:
-    """Normalize rng argument to a JAX PRNG key."""
+def _as_key(rng: Any, impl: str | None = None) -> jax.Array:
+    """Normalize rng argument to a JAX PRNG key.
+
+    ``impl`` selects the PRNG implementation (``jax.random.key``'s
+    ``impl=``, e.g. ``"rbg"``) when a key must be created; an rng that
+    is already a key keeps its own impl.
+    """
     if rng is None:
         return jax.random.key(
-            int(np.random.default_rng().integers(2**31 - 1))
+            int(np.random.default_rng().integers(2**31 - 1)), impl=impl
         )
     if isinstance(rng, int):
-        return jax.random.key(rng)
+        return jax.random.key(rng, impl=impl)
     if isinstance(rng, np.random.Generator):
-        return jax.random.key(int(rng.integers(2**31 - 1)))
+        return jax.random.key(int(rng.integers(2**31 - 1)), impl=impl)
     if isinstance(rng, jax.Array):
         return rng
     raise TypeError(f"Cannot interpret rng of type {type(rng)}")

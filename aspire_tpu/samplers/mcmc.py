@@ -726,9 +726,7 @@ class ParallelTemperedSampler(MCMCSampler):
             g.attrs["n_steps"] = int(n_steps)
             g.attrs["n_samples"] = int(n_samples)
             g.attrs["a"] = float(a)
-            g.attrs["prng_impl"] = str(
-                jax.config.jax_default_prng_impl
-            )
+            g.attrs["prng_impl"] = self.key_impl_name()
             # Swap the complete new state in (metadata-level move: the
             # window with neither group present is tiny and covered by
             # the _new fallback in load_pt_state).
@@ -773,16 +771,17 @@ class ParallelTemperedSampler(MCMCSampler):
                     v = int(v)
                 state[k] = v
         saved_impl = str(state.get("prng_impl", "threefry2x32"))
-        current_impl = str(jax.config.jax_default_prng_impl)
+        current_impl = self.key_impl_name()
         if saved_impl != current_impl:
             raise ValueError(
                 f"PT state was saved under PRNG impl {saved_impl!r} "
-                f"but this process uses {current_impl!r}; resuming "
-                "would not replay the saved key stream. Set "
-                "JAX_DEFAULT_PRNG_IMPL to match."
+                f"but this sampler's key stream uses {current_impl!r}; "
+                "resuming would mix two incompatible bit streams. "
+                f"Construct the sampler with prng_impl={saved_impl!r} "
+                "(or the matching JAX_DEFAULT_PRNG_IMPL) to resume."
             )
         state["round_keys"] = jax.random.wrap_key_data(
-            jnp.asarray(state["round_keys"])
+            jnp.asarray(state["round_keys"]), impl=saved_impl
         )
         return state
 

@@ -823,7 +823,9 @@ class SMCSampler(Sampler):
         # history buffers to the host each temperature step. The sink
         # is read at call time so the compiled ladder stays cached
         # across runs with and without checkpointing enabled.
-        if checkpoint_callback is not None and jax.process_count() > 1:
+        if (
+            checkpoint_callback is not None or store_history
+        ) and jax.process_count() > 1:
             # io_callback would gather the globally-sharded population
             # to one device, which a multi-controller mesh cannot do
             # (and this stack's runtime rejects host send/recv under
@@ -831,6 +833,8 @@ class SMCSampler(Sampler):
             # checkpoint_every-sized chunks and write shard-LOCAL
             # checkpoints between dispatches with the proven per-process
             # writer — per-iteration fault tolerance at pod scale.
+            # Sample history needs one dispatch PER RUNG (the chunked
+            # path only sees populations at chunk boundaries).
             return self._run_device_ladder_chunked(
                 samples,
                 n_steps=n_steps,
@@ -839,10 +843,15 @@ class SMCSampler(Sampler):
                 max_beta_step=max_beta_step,
                 beta_tolerance=beta_tolerance,
                 max_iters=max_iters,
-                chunk=max(int(checkpoint_every or 1), 1),
+                chunk=(
+                    1
+                    if store_history
+                    else max(int(checkpoint_every or 1), 1)
+                ),
                 checkpoint_callback=checkpoint_callback,
                 eff_lo=eff_lo,
                 eff_hi=eff_hi,
+                store_history=store_history,
             )
         self._ladder_checkpoint_sink = checkpoint_callback
         self._ladder_store_history = store_history
@@ -981,6 +990,7 @@ class SMCSampler(Sampler):
         checkpoint_callback,
         eff_lo: float,
         eff_hi: float,
+        store_history: bool = False,
     ) -> tuple[SMCSamples, int]:
         """Compiled ladder with shard-local checkpoints on a pod.
 
@@ -1120,15 +1130,22 @@ class SMCSampler(Sampler):
                 snap.log_likelihood = ll
                 snap.log_prior = lpi
                 snap.log_q = lq
-                state = self.build_checkpoint_state(
-                    snap,
-                    len(self.history.beta),
-                    meta={"beta": beta_host},
-                )
-                # Resume must continue from the ladder's own key stream,
-                # not the sampler-level key.
-                state["key"] = np.asarray(jax.random.key_data(key))
-                checkpoint_callback(state)
+                if store_history:
+                    # chunk == 1 in this mode: one dispatch per rung,
+                    # so this IS the per-rung shard-local snapshot.
+                    self.history.sample_history.append(
+                        self._history_snapshot(snap)
+                    )
+                if checkpoint_callback is not None:
+                    state = self.build_checkpoint_state(
+                        snap,
+                        len(self.history.beta),
+                        meta={"beta": beta_host},
+                    )
+                    # Resume must continue from the ladder's own key
+                    # stream, not the sampler-level key.
+                    state["key"] = np.asarray(jax.random.key_data(key))
+                    checkpoint_callback(state)
                 if bool(stalled):
                     raise BetaScheduleError(
                         "Device ladder stalled: beta did not increase. "
@@ -1150,6 +1167,60 @@ class SMCSampler(Sampler):
         new.log_prior = lpi
         new.log_likelihood = ll
         return new, total_it
+
+    def _history_snapshot(self, samples: SMCSamples):
+        """Host-resident population snapshot for ``sample_history``.
+
+        Single-process: the full population as numpy (reference parity
+        — history.py:244-346's sample-history diagnostics consume it).
+        Multi-process: a global gather is impossible on a
+        multi-controller mesh, so each process snapshots its OWN rows
+        (the locally addressable shards) tagged with their global
+        offsets; ``save_checkpoint_to_hdf`` writes them in the
+        shard-dataset format and ``load_checkpoint_from_file``
+        reassembles the full per-rung populations (round-5: shard-local
+        sample history replaces the old hard error at pod scale).
+        """
+        if jax.process_count() == 1:
+            return samples.to_numpy()
+
+        def local_blocks(arr):
+            if not isinstance(arr, jax.Array):
+                a = np.asarray(arr)
+                return a, [0], [a.shape[0]]
+            seen = set()
+            blocks = []
+            for s in sorted(
+                arr.addressable_shards,
+                key=lambda s: s.index[0].start or 0,
+            ):
+                start = int(s.index[0].start or 0)
+                if start in seen:
+                    continue  # replicated copy of the same region
+                seen.add(start)
+                blocks.append((start, np.asarray(s.data)))
+            return (
+                np.concatenate([b for _, b in blocks], axis=0),
+                [s for s, _ in blocks],
+                [b.shape[0] for _, b in blocks],
+            )
+
+        x_local, starts, sizes = local_blocks(samples.x)
+        snap = SMCSamples(
+            x=x_local,
+            beta=float(samples.beta or 0.0),
+            dtype=self.dtype,
+            parameters=self.parameters,
+        )
+        snap.x = x_local  # keep host-resident (skip __post_init__ put)
+        for name in ("log_likelihood", "log_prior", "log_q"):
+            value = getattr(samples, name, None)
+            if value is not None:
+                setattr(snap, name, local_blocks(value)[0])
+        snap.shard_starts = starts
+        snap.shard_sizes = sizes
+        snap.global_n = int(samples.x.shape[0])
+        return snap
 
     def _replay_ladder_history(
         self,
@@ -1779,14 +1850,13 @@ class SMCSampler(Sampler):
             store_sample_history = (
                 n_samples <= 10_000 and not multiprocess
             )
-        if store_sample_history and multiprocess:
-            raise ValueError(
-                "store_sample_history gathers the full population to "
-                "the host, which is impossible on a multi-process "
-                "mesh; pass store_sample_history=False."
-            )
         if store_sample_history:
-            self.history.sample_history.append(samples.to_numpy())
+            # On a multi-process mesh each process records its own
+            # population shard per rung (_history_snapshot); checkpoint
+            # files reassemble them to the full per-rung populations.
+            self.history.sample_history.append(
+                self._history_snapshot(samples)
+            )
 
         nan_q, nan_pi, nan_l = jax.device_get(
             _nan_flags(
@@ -2049,7 +2119,9 @@ class SMCSampler(Sampler):
                     "particle_steps", n_chains_done * k_steps
                 )
                 if store_sample_history:
-                    self.history.sample_history.append(samples.to_numpy())
+                    self.history.sample_history.append(
+                        self._history_snapshot(samples)
+                    )
                 maybe_checkpoint()
                 if beta == 1.0 or (
                     max_n_steps is not None and iterations >= max_n_steps

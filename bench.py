@@ -432,6 +432,11 @@ def main():
     vs_baseline = rate / cpu_rate if cpu_rate else 1.0
     _log(f"cpu baseline rate: {cpu_rate}")
 
+    # Anchor verdict: None only when the anchor legitimately did not run
+    # (degraded CPU mode); False on a raise or a >5-sigma logZ miss. The
+    # perf headline is only a win when the in-run statistics are right,
+    # so the driver can (and should) check this field.
+    anchor_ok = None
     if "--degraded-cpu" in sys.argv:
         # The 131072-particle pipeline timing inside the anchor takes
         # many minutes on one CPU core and measures nothing about the
@@ -441,8 +446,19 @@ def main():
         try:
             anchor = correctness_anchor()
             _log(f"correctness anchor: {anchor}")
+            tol = max(5.0 * anchor["log_z_err"], 0.02)
+            anchor_ok = bool(
+                abs(anchor["log_z"] - anchor["true_log_z"]) < tol
+            )
+            if not anchor_ok:
+                _log(
+                    "ANCHOR FAILED: |logZ - truth| = "
+                    f"{abs(anchor['log_z'] - anchor['true_log_z']):.4f} "
+                    f"> tol {tol:.4f}"
+                )
         except Exception as err:  # noqa: BLE001
             _log(f"correctness anchor failed: {err}")
+            anchor_ok = False
 
     record = {
         "metric": "smc_particle_steps_per_s",
@@ -455,6 +471,7 @@ def main():
         "bytes_per_particle_step": model["bytes_per_particle_step"],
         "pipeline_131072_s": _PIPELINE_S,
         "rbg_opt_in_rate": rate_rbg,
+        "anchor_ok": anchor_ok,
     }
     if "--degraded-cpu" in sys.argv:
         # The device backend was unreachable for the whole wait window:

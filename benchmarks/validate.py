@@ -5,11 +5,17 @@ reference's basic-example Gaussian x uniform prior, the two-Gaussian
 mixture x normal prior, a 2-d Rosenbrock banana, and Neal's funnel x
 wide-normal prior — the latter two with quadrature truths) on whatever
 device is available, and checks the log-evidence against the analytic
-value within k-sigma. Prints one JSON
-line per (sampler, problem) and exits non-zero on any failure — the
-statistical counterpart of the reference's examples.yml smoke CI.
+value within k-sigma. The flow config under test is the SHIPPING
+`nsf-tpu` preset — the same config bench.py headlines — and the CNF
+(flow-matching) rows cover all four targets. Prints one JSON line per
+(sampler, problem) and exits non-zero on any failure — the statistical
+counterpart of the reference's examples.yml smoke CI. 12 sampler
+configs x 4 targets + 8 CNF rows = 56 rows (one, the mixture
+importance+cnf row, is recorded as informational — see the in-line
+note; every other row is a hard gate).
 
 Usage: python benchmarks/validate.py [--n 16384] [--k-sigma 5]
+       [--prng-impl rbg]   # certify the rbg opt-in across all gates
 """
 
 from __future__ import annotations
@@ -164,6 +170,12 @@ def main() -> None:
         default=None,
         help="substring filter on the problem class name",
     )
+    parser.add_argument(
+        "--prng-impl",
+        default=None,
+        help="sampler PRNG implementation (e.g. 'rbg'); exercises the "
+        "Aspire(prng_impl=...) API end-to-end across every gate",
+    )
     args = parser.parse_args()
 
     import numpy as np
@@ -179,8 +191,21 @@ def main() -> None:
     configure_logger("WARNING")
     failures = 0
 
-    def run_gate(asp, problem, true, sampler, kwargs, label, replicates=0):
-        """One (sampler, problem) gate; returns ok and prints a JSON line."""
+    def run_gate(
+        asp, problem, true, sampler, kwargs, label, replicates=0,
+        informational=False, eff_floor=None,
+    ):
+        """One (sampler, problem) gate; returns ok and prints a JSON line.
+
+        ``informational=True`` rows are recorded but never counted as
+        failures — used where the statistical tolerance is honestly too
+        wide to certify anything (the JSON says so explicitly, so a
+        green run never hides behind an un-failable row).
+        ``eff_floor`` additionally requires ``post.efficiency`` (ESS/n)
+        above the floor: a k-sigma bar built from a heavy-tailed-weight
+        error estimate can be arbitrarily wide, so importance rows must
+        also prove their weights carry information.
+        """
         extra = {}
         n_req = args.n if sampler != "ptmcmc" else max(args.n // 32, 256)
         try:
@@ -223,6 +248,12 @@ def main() -> None:
                 extra["n_temperatures"] = len(post.betas)
             tol = max(args.k_sigma * err, args.min_tol)
             ok = abs(lz - true) < tol
+            if hasattr(post, "efficiency"):
+                eff = float(post.efficiency)
+                extra["efficiency"] = round(eff, 5)
+                if eff_floor is not None:
+                    extra["eff_floor"] = eff_floor
+                    ok = ok and eff >= eff_floor
             history = getattr(asp.sampler, "history", None)
             taus = getattr(history, "mcmc_autocorr", None)
             if taus:
@@ -236,21 +267,19 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             lz, err, ok = float("nan"), float("nan"), False
             print(f"# {label} raised: {exc!r}", file=sys.stderr)
-        print(
-            json.dumps(
-                {
-                    "problem": type(problem).__name__,
-                    "sampler": label,
-                    "log_z": round(lz, 4),
-                    "log_z_err": round(err, 4),
-                    "true_log_z": round(true, 4),
-                    "ok": bool(ok),
-                    **extra,
-                }
-            ),
-            flush=True,
-        )
-        return ok
+        record = {
+            "problem": type(problem).__name__,
+            "sampler": label,
+            "log_z": round(lz, 4),
+            "log_z_err": round(err, 4),
+            "true_log_z": round(true, 4),
+            "ok": bool(ok),
+            **extra,
+        }
+        if informational:
+            record["informational"] = True
+        print(json.dumps(record), flush=True)
+        return ok or informational
 
     for problem, init_fn in [
         (
@@ -292,7 +321,13 @@ def main() -> None:
             dims=problem.dims,
             prior_bounds=problem.prior_bounds,
             flow_backend="nsf",
+            # The SHIPPING preset (the config bench.py headlines): the
+            # gates certify exactly what the benchmark measures
+            # (round-5 verdict item — previously only a 2-target refit
+            # A/B covered the preset).
+            architecture="nsf-tpu",
             seed=1,
+            prng_impl=args.prng_impl,
         )
         # The funnel's dominant systematic is flow-fit seed variation
         # (a measured A/B, see TODO.md): every funnel gate runs the
@@ -331,8 +366,19 @@ def main() -> None:
     # CNF (flow-matching) gates: the one flow family whose log_prob is
     # an ODE-quadrature approximation (RK4 transport + exact-divergence
     # augmentation, flows/matching.py) gets its own end-to-end accuracy
-    # gates. Importance weights consume the approximate log_prob
-    # directly; SMC additionally stresses it inside the tempering loop.
+    # gates, on ALL FOUR targets (round 5 — the curved Rosenbrock and
+    # hierarchical funnel geometries are exactly where ODE-quadrature
+    # log_prob error would show). Importance weights consume the
+    # approximate log_prob directly; SMC additionally stresses it
+    # inside the tempering loop, and the SMC row is the tight assertion
+    # on every target. Importance+cnf rows carry an efficiency floor so
+    # a heavy-tailed-weight error bar can never produce an un-failable
+    # gate; on the separated two-mode mixture the CFM transport's IS
+    # weights are KNOWN heavy-tailed (measured A/B:
+    # benchmarks/dev/cnf_mixture_ab.py — the round-4 reading was
+    # -10.45 +- 0.76, a 3.8-nat bar that certifies nothing), so that
+    # one row is recorded as informational and the SMC+cnf row carries
+    # the mixture assertion.
     for problem, init_fn in [
         (
             GaussianProblem(dims=4),
@@ -344,9 +390,22 @@ def main() -> None:
                 dims=4
             ).draw_initial_samples(rng, 8192),
         ),
+        (
+            RosenbrockProblem(dims=2),
+            lambda rng: RosenbrockProblem(
+                dims=2
+            ).draw_initial_samples(rng, 8192),
+        ),
+        (
+            FunnelProblem(dims=5),
+            lambda rng: FunnelProblem(dims=5).draw_initial_samples(
+                rng, 8192
+            ),
+        ),
     ]:
         if args.problems and args.problems not in type(problem).__name__:
             continue
+        is_mixture = type(problem).__name__ == "GaussianMixtureProblem"
         todo = [
             (sampler, kwargs, _label(sampler, kwargs) + "+cnf")
             for sampler, kwargs in [
@@ -367,14 +426,18 @@ def main() -> None:
             flow_matching=True,
             n_steps=64,
             seed=1,
+            prng_impl=args.prng_impl,
         )
         # CFM velocity-field regression needs a longer schedule than
         # the NSF's 25 epochs to tighten the transport map.
         asp.fit(Samples(init_fn(rng)), n_epochs=120, batch_size=512)
         true = analytic_log_z(problem)
         for sampler, kwargs, label in todo:
+            is_importance = sampler == "importance"
             failures += not run_gate(
-                asp, problem, true, sampler, kwargs, label
+                asp, problem, true, sampler, kwargs, label,
+                informational=is_importance and is_mixture,
+                eff_floor=0.01 if is_importance else None,
             )
     sys.exit(1 if failures else 0)
 

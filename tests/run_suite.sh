@@ -10,6 +10,18 @@
 # total cost; `pytest -n 2` (xdist) is a faster alternative that
 # halves per-process compile counts.
 #
+# Repro status (round 5): benchmarks/dev/xla_cpu_sigsegv_repro.py
+# compiles 1200 DISTINCT programs (plain / lax.scan / 8-device
+# shard_map collectives — ~3x the suite's compile count) in one
+# process and SURVIVES on this host (jax 0.9.0). Compile count alone
+# does not reproduce the crash: the trigger includes suite-specific
+# process state (allocation history / fixture churn), i.e. an
+# upstream jaxlib fragility this runner works around rather than a
+# compilation pattern this repo could change. Re-test with that
+# script after any jaxlib bump; if it stays green AND a full
+# single-process `pytest tests/` run stops SIGSEGV-ing, retire this
+# runner.
+#
 #   bash tests/run_suite.sh [extra pytest args...]
 set -u
 cd "$(dirname "$0")/.."
