@@ -479,7 +479,7 @@ class SMCSampler(Sampler):
     def _fused_chain_spec(
         self,
         kwargs,
-        n: int,
+        n: int | None,
         waste_free: bool,
         windowed_tau: bool,
         precond,
@@ -487,11 +487,12 @@ class SMCSampler(Sampler):
     ) -> dict | None:
         """Dispatch predicate for the fused whole-chain Pallas kernel.
 
-        Returns the static chain spec, or None -> XLA path. The fused
-        kernel runs the ENTIRE k-step chain in one launch (VMEM-resident
-        state, on-core PRNG); see ops/fused_mutation.py for the
-        documented semantics deltas (per-tile step adaptation, TPU PRNG
-        stream, NaN-as=-inf target guard).
+        Returns the static chain spec, or None -> XLA path (``n=None``
+        defers the tile choice to the caller). The fused kernel runs
+        the ENTIRE k-step chain in one launch (VMEM-resident state,
+        on-core PRNG); see ops/fused_mutation.py for the documented
+        semantics deltas (per-tile step adaptation, TPU PRNG stream,
+        NaN-as=-inf target guard).
         """
         from ..ops import fused_coupling as FC
         from ..ops import fused_mutation as FM
@@ -526,12 +527,17 @@ class SMCSampler(Sampler):
 
         if not isinstance(arch, Coupling):
             return None
-        probe = jnp.zeros((max(n, FC._MIN_FUSED_N), 2), jnp.float32)
+        probe = jnp.zeros(
+            (max(n or 0, FC._MIN_FUSED_N), 2), jnp.float32
+        )
         if not (forced or FC.should_fuse(arch, probe)):
             return None
-        tile = FM._pick_tile(n, self.dims, arch)
-        if tile is None:
-            return None
+        if n is None:
+            tile = None  # deferred: the device ladder picks per-shape
+        else:
+            tile = FM._pick_tile(n, self.dims, arch)
+            if tile is None:
+                return None
         if (
             FM.canonicalize_transform(
                 self.prior_flow.data_transform, self.dims
@@ -1115,17 +1121,47 @@ class SMCSampler(Sampler):
         self._ladder_base_evals = self.n_likelihood_evaluations
         self._ladder_n_steps = n_steps
 
-        ladder = self._build_device_ladder(
-            n_steps,
-            max_iters,
-            with_checkpoint=(
-                checkpoint_callback is not None or store_history
-            ),
-            waste_free=waste_free,
-        )
+        def build():
+            return self._build_device_ladder(
+                n_steps,
+                max_iters,
+                with_checkpoint=(
+                    checkpoint_callback is not None or store_history
+                ),
+                waste_free=waste_free,
+            )
+
+        ladder = build()
         ladder_phase = self.profiler.phase("ladder")
         ladder_phase.__enter__()
-        out = ladder(
+
+        def run_ladder(*args):
+            """First call compile-tests the fused-chain leg; a Mosaic
+            lowering gap falls back to an XLA-chain ladder build."""
+            nonlocal ladder
+            if not getattr(self, "_ladder_has_fused", False):
+                return ladder(*args)
+            if self._fused_chain_state in (False, True):
+                return ladder(*args)
+            try:
+                out = ladder(*args)
+                self._fused_chain_state = True
+                return out
+            except Exception as err:  # noqa: BLE001
+                if (self.sampler_kwargs or {}).get(
+                    "fused_chain"
+                ) is True:
+                    raise
+                logger.warning(
+                    "fused-chain ladder failed to compile (%s); "
+                    "rebuilding with the XLA chain",
+                    err,
+                )
+                self._fused_chain_state = False
+                ladder = build()
+                return ladder(*args)
+
+        out = run_ladder(
             self.flow_state(),
             samples.x,
             samples.log_likelihood,
@@ -1590,6 +1626,7 @@ class SMCSampler(Sampler):
                      # call with a different min-step mode must not
                      # reuse a ladder compiled with the other one
                      self.adaptive_min_beta_step,
+                     self._fused_chain_state is not False,
                      tuple(sorted(self.sampler_kwargs.items())))
         if cache_key in self._mutate_cache:
             return self._mutate_cache[cache_key]
@@ -1624,6 +1661,25 @@ class SMCSampler(Sampler):
 
         checkpoint_host_cb = self._ladder_checkpoint_host
 
+        # Fused whole-chain mutation (ops/fused_mutation): the ladder
+        # always runs precond-free, so only the data-transform program
+        # is needed. The tile choice is deferred to trace time (the
+        # population size is only known then); non-fusable shapes fall
+        # back to the XLA chain inside the same compiled ladder.
+        from ..ops import fused_mutation as FM
+
+        kwargs_all = dict(self.default_sampler_kwargs)
+        kwargs_all.update(self.sampler_kwargs or {})
+        fused_spec = None
+        if collective_impl is None and not flow_move_every:
+            fused_spec = self._fused_chain_spec(
+                kwargs_all, None, waste_free, windowed_tau, None
+            )
+        self._ladder_has_fused = fused_spec is not None
+        arch_f = self.prior_flow.architecture
+        dims_f = self.dims
+        interp_f = jax.default_backend() != "tpu"
+
         @jax.jit
         def ladder(
             flow_state,
@@ -1649,6 +1705,16 @@ class SMCSampler(Sampler):
         ):
             n = x.shape[0]
             dtype = x.dtype
+            fused_tile = None
+            if fused_spec is not None and dtype == jnp.float32:
+                fused_tile = FM._pick_tile(n, dims_f, arch_f)
+            use_fused = fused_tile is not None
+            step_init = step0.astype(dtype)
+            if use_fused and step_init.ndim == 0:
+                # Per-tile adapted step sizes (fused-chain carry).
+                step_init = jnp.broadcast_to(
+                    step_init, (n // fused_tile,)
+                )
             zeros_h = jnp.zeros((max_iters,), dtype)
             state = {
                 "x": x,
@@ -1656,7 +1722,7 @@ class SMCSampler(Sampler):
                 "lpi": lpi,
                 "lq": lq,
                 "beta": beta0.astype(dtype),
-                "step": step0.astype(dtype),  # <0: use kernel default
+                "step": step_init,  # <0: use kernel default
                 "key": key,
                 "min_step": min_beta_step,
                 "it": jnp.asarray(0, jnp.int32),
@@ -1758,75 +1824,136 @@ class SMCSampler(Sampler):
                             x_r, constraint
                         )
 
-                lp_fn = lambda zz: tempered(  # noqa: E731
-                    flow_state, None, zz, beta
-                )
-                ref = K.fit_gaussian_reference(x_r)
-                step_fn, init_step, needs_grad = builder(lp_fn, ref)
-                if flow_move_every:
-                    step_fn = make_imh(
-                        step_fn,
-                        lp_fn,
-                        flow_state,
-                        beta,
-                        flow_move_every,
-                        needs_grad,
+                if use_fused:
+                    # Fused whole-chain mutation: ONE Pallas launch per
+                    # temperature (ops/fused_mutation), densities
+                    # carried through accept/select so no post-chain
+                    # refresh is needed.
+                    params_fs, dt_fs = flow_state
+                    cfg_f = FM.ChainConfig(
+                        arch_f,
+                        fused_spec["kernel"],
+                        n_steps,
+                        nu=fused_spec["nu"],
+                        target_acceptance=fused_spec[
+                            "target_acceptance"
+                        ],
+                        adaptation_rate=fused_spec["adaptation_rate"],
+                        dt_prog=FM.canonicalize_transform(
+                            dt_fs, dims_f
+                        ),
+                        gamma_m=fused_spec["gamma_m"],
+                        gamma_odd=fused_spec["gamma_odd"],
                     )
-                if needs_grad:
-                    lp0, grad0 = _value_and_grad_batch(lp_fn, x_r)
-                else:
-                    lp0, grad0 = lp_fn(x_r), None
-                step0 = jnp.where(
-                    s["step"] > 0,
-                    s["step"],
-                    jnp.asarray(init_step, dtype=dtype),
-                )
-                chain0 = K.ChainState(
-                    x=x_r,
-                    log_prob=lp0,
-                    key=mut_key,
-                    step_size=step0,
-                    n_accept=jnp.zeros(n_chains, dtype=dtype),
-                    grad=grad0,
-                    n_evals=K.eval_counter_init(),
-                )
-                final, chain, cstats = K.run_chain(
-                    step_fn,
-                    chain0,
-                    n_steps,
-                    # Waste-free pools the full chain; windowed_tau
-                    # alone stores only the strided tau_walkers
-                    # subset, so opting in costs O(k * 1024 * d)
-                    # memory inside the while_loop at any n.
-                    store_chain=waste_free,
-                    track_autocorr=True,
-                    windowed_tau=windowed_tau,
-                    tau_walkers=tau_walkers,
-                )
-                tau = cstats.tau
-                if waste_free:
-                    # Pool every chain state, ancestor-major (each mesh
-                    # shard's pooled rows stay contiguous).
-                    x_m = jnp.swapaxes(chain, 0, 1).reshape(
-                        n, x.shape[1]
+                    gref = K.fit_gaussian_reference(x_r)
+                    seed = jax.lax.bitcast_convert_type(
+                        jax.random.bits(mut_key, (2,), jnp.uint32),
+                        jnp.int32,
                     )
-                    if constraint is not None:
-                        x_m = jax.lax.with_sharding_constraint(
-                            x_m, constraint
+                    step0 = jnp.where(
+                        s["step"] > 0,
+                        s["step"],
+                        jnp.asarray(fused_spec["init_step"], dtype),
+                    )
+                    (
+                        x_m, lq_m, lpi_m, ll_m, nacc_f, step_next,
+                        stats_f,
+                    ) = FM.fused_mh_chain(
+                        cfg_f, params_fs, x_r, beta, seed, step0,
+                        gref.mean, gref.chol, gref.inv_chol,
+                        target_td=fused_spec["target_td"],
+                        tile=fused_tile, interpret=interp_f,
+                    )
+                    tau, mixing = FM.combine_tile_stats(
+                        stats_f, dims_f, fused_tile
+                    )
+                    acc = jnp.mean(nacc_f) / max(n_steps, 1)
+                    ev_step = K.eval_counter_init()
+                    total_ev = (n_steps + 1) * n
+                    while total_ev > 0:
+                        ev_step = K.eval_counter_add(
+                            ev_step, min(total_ev, 1 << 30)
                         )
+                        total_ev -= min(total_ev, 1 << 30)
                 else:
-                    x_m = final.x
-                lq_m = flow_log_prob(flow_state, x_m).astype(dtype)
-                view = make_view(x_m)
-                lpi_m = (
-                    jnp.asarray(log_prior(view)).reshape(-1).astype(dtype)
-                )
-                ll_m = (
-                    jnp.asarray(log_likelihood(view))
-                    .reshape(-1)
-                    .astype(dtype)
-                )
-                acc = jnp.mean(final.n_accept / max(n_steps, 1))
+                    lp_fn = lambda zz: tempered(  # noqa: E731
+                        flow_state, None, zz, beta
+                    )
+                    ref = K.fit_gaussian_reference(x_r)
+                    step_fn, init_step, needs_grad = builder(
+                        lp_fn, ref
+                    )
+                    if flow_move_every:
+                        step_fn = make_imh(
+                            step_fn,
+                            lp_fn,
+                            flow_state,
+                            beta,
+                            flow_move_every,
+                            needs_grad,
+                        )
+                    if needs_grad:
+                        lp0, grad0 = _value_and_grad_batch(lp_fn, x_r)
+                    else:
+                        lp0, grad0 = lp_fn(x_r), None
+                    step0 = jnp.where(
+                        s["step"] > 0,
+                        s["step"],
+                        jnp.asarray(init_step, dtype=dtype),
+                    )
+                    chain0 = K.ChainState(
+                        x=x_r,
+                        log_prob=lp0,
+                        key=mut_key,
+                        step_size=step0,
+                        n_accept=jnp.zeros(n_chains, dtype=dtype),
+                        grad=grad0,
+                        n_evals=K.eval_counter_init(),
+                    )
+                    final, chain, cstats = K.run_chain(
+                        step_fn,
+                        chain0,
+                        n_steps,
+                        # Waste-free pools the full chain; windowed_tau
+                        # alone stores only the strided tau_walkers
+                        # subset, so opting in costs O(k * 1024 * d)
+                        # memory inside the while_loop at any n.
+                        store_chain=waste_free,
+                        track_autocorr=True,
+                        windowed_tau=windowed_tau,
+                        tau_walkers=tau_walkers,
+                    )
+                    tau = cstats.tau
+                    mixing = cstats.mixing
+                    if waste_free:
+                        # Pool every chain state, ancestor-major (each
+                        # mesh shard's pooled rows stay contiguous).
+                        x_m = jnp.swapaxes(chain, 0, 1).reshape(
+                            n, x.shape[1]
+                        )
+                        if constraint is not None:
+                            x_m = jax.lax.with_sharding_constraint(
+                                x_m, constraint
+                            )
+                    else:
+                        x_m = final.x
+                    lq_m = flow_log_prob(flow_state, x_m).astype(dtype)
+                    view = make_view(x_m)
+                    lpi_m = (
+                        jnp.asarray(log_prior(view))
+                        .reshape(-1)
+                        .astype(dtype)
+                    )
+                    ll_m = (
+                        jnp.asarray(log_likelihood(view))
+                        .reshape(-1)
+                        .astype(dtype)
+                    )
+                    acc = jnp.mean(final.n_accept / max(n_steps, 1))
+                    step_next = final.step_size.astype(dtype)
+                    ev_step = K.eval_counter_add(
+                        final.n_evals, n_chains + n
+                    )
 
                 # Lineage-degeneracy recursion (matches the host ladder,
                 # including the one-particle floor).
@@ -1836,7 +1963,7 @@ class SMCSampler(Sampler):
                 rho = jnp.maximum((tau - 1.0) / (tau + 1.0), 0.0)
                 f_lin = f_lin + (1.0 - f_lin) * (
                     1.0 - rho ** (2 * n_steps)
-                ) * cstats.mixing
+                ) * mixing
                 if waste_free:
                     # Pooled chain states hold at most ~k/tau effective
                     # draws per ancestor (host-parity division, see
@@ -1855,7 +1982,7 @@ class SMCSampler(Sampler):
                     "lpi": lpi_m,
                     "lq": lq_m,
                     "beta": beta,
-                    "step": final.step_size.astype(dtype),
+                    "step": step_next,
                     "key": key,
                     "min_step": min_step,
                     "it": i + 1,
@@ -1870,11 +1997,7 @@ class SMCSampler(Sampler):
                     "tau_h": s["tau_h"].at[i].set(tau.astype(dtype)),
                     "lin_h": s["lin_h"].at[i].set(s["f_lin"]),
                     "f_lin": f_lin.astype(dtype),
-                    "ev_h": s["ev_h"].at[i].set(
-                        K.eval_counter_add(
-                            final.n_evals, n_chains + n
-                        )
-                    ),
+                    "ev_h": s["ev_h"].at[i].set(ev_step),
                 }
                 if with_checkpoint:
                     # Post the mutated population + history buffers to

@@ -48,6 +48,7 @@ def build_workload(
     n_steps: int = 20,
     flow_kwargs: dict | None = None,
     prng_impl: str | None = None,
+    fused_chain: bool = False,
 ):
     import jax
     import jax.numpy as jnp
@@ -85,20 +86,65 @@ def build_workload(
 
     from functools import partial
 
-    @partial(jax.jit, static_argnames=("n_steps",))
-    def mutate(params, x, beta, key, n_steps):
-        log_prob_fn = lambda z: tempered(params, z, beta)  # noqa: E731
-        ref = K.fit_gaussian_reference(x)
-        step = partial(K.tpcn_step, log_prob_fn=log_prob_fn, ref=ref)
-        state = K.ChainState(
-            x=x,
-            log_prob=log_prob_fn(x),
-            key=key,
-            step_size=jnp.asarray(0.5, dtype=x.dtype),
-            n_accept=jnp.zeros(x.shape[0], dtype=x.dtype),
-        )
-        final, _ = K.run_chain(step, state, n_steps)
-        return final.x, final.log_prob
+    if fused_chain:
+        # The shipped device hot path: ONE Pallas launch per whole
+        # chain (ops/fused_mutation) — the same kernel the SMC
+        # dispatches to (smc._mutate_on_device_fused / device ladder).
+        from aspire_tpu.ops import fused_mutation as FM
+
+        def target_td(xt):
+            return (
+                problem.log_prior_td(xt),
+                problem.log_likelihood_td(xt),
+            )
+
+        k2 = int(round(5.0 + dims))
+
+        @partial(jax.jit, static_argnames=("n_steps",))
+        def mutate(params, x, beta, key, n_steps):
+            cfg = FM.ChainConfig(
+                arch, "tpcn", n_steps, nu=5.0,
+                target_acceptance=0.234, adaptation_rate=0.1,
+                dt_prog=FM.canonicalize_transform(
+                    data_transform, dims
+                ),
+                gamma_m=k2 // 2, gamma_odd=k2 % 2,
+                # The bench workload has always measured the bare
+                # chain (the XLA variant runs run_chain without
+                # track_autocorr); keep the comparison symmetric.
+                track_stats=False,
+            )
+            gref = K.fit_gaussian_reference(x)
+            seed = jax.lax.bitcast_convert_type(
+                jax.random.bits(key, (2,), jnp.uint32), jnp.int32
+            )
+            out = FM.fused_mh_chain(
+                cfg, params, x, beta, seed, 0.5,
+                gref.mean, gref.chol, gref.inv_chol,
+                target_td=target_td, interpret=False,
+            )
+            return out[0], out[1]
+
+    else:
+
+        @partial(jax.jit, static_argnames=("n_steps",))
+        def mutate(params, x, beta, key, n_steps):
+            log_prob_fn = lambda z: tempered(  # noqa: E731
+                params, z, beta
+            )
+            ref = K.fit_gaussian_reference(x)
+            step = partial(
+                K.tpcn_step, log_prob_fn=log_prob_fn, ref=ref
+            )
+            state = K.ChainState(
+                x=x,
+                log_prob=log_prob_fn(x),
+                key=key,
+                step_size=jnp.asarray(0.5, dtype=x.dtype),
+                n_accept=jnp.zeros(x.shape[0], dtype=x.dtype),
+            )
+            final, _ = K.run_chain(step, state, n_steps)
+            return final.x, final.log_prob
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(n_particles, dims)), dtype=jnp.float32)
@@ -117,6 +163,7 @@ def measure_rate(
     reps: int = 5,
     flow_kwargs: dict | None = None,
     prng_impl: str | None = None,
+    fused_chain: bool = False,
 ) -> float:
     """Median mutation throughput in particle-steps/s.
 
@@ -136,6 +183,7 @@ def measure_rate(
         n_steps=n_steps,
         flow_kwargs=flow_kwargs,
         prng_impl=prng_impl,
+        fused_chain=fused_chain,
     )
     out = mutate(params, x, beta, key, n_steps=n_steps)
     np.asarray(out[0][0, 0])  # warmup/compile + hard sync
@@ -372,16 +420,31 @@ def main():
 
     # 500 in-jit steps per timed call: the tunneled backend's
     # per-dispatch RTT still shows at 200 steps (measured ~13% low).
+    # Headline = the SHIPPED device hot path: the fused whole-chain
+    # Pallas kernel the SMC dispatches to on TPU (round 5).
     n_particles = 131072 if platform != "cpu" else 16384
     n_steps = 500 if platform != "cpu" else 20
-    rate = measure_rate(n_particles=n_particles, n_steps=n_steps, reps=5)
+    rate = measure_rate(
+        n_particles=n_particles,
+        n_steps=n_steps,
+        reps=5,
+        fused_chain=platform != "cpu",
+    )
     _log(f"mutation rate: {rate:.3e} particle-steps/s @ n={n_particles}")
 
-    # Auxiliary: same workload with rbg keys (the documented opt-in
-    # PRNG, +14% measured round 4 — performance.md knob 3). Reported
-    # alongside; the headline stays on JAX's default threefry.
+    # Auxiliaries: the XLA per-step chain (threefry) — the pre-round-5
+    # path and the multi-chip/fallback path — and the same with rbg
+    # keys (documented opt-in PRNG, performance.md knob 3).
+    rate_xla = None
     rate_rbg = None
     if platform != "cpu":
+        try:
+            rate_xla = measure_rate(
+                n_particles=n_particles, n_steps=n_steps, reps=3
+            )
+            _log(f"xla-chain rate: {rate_xla:.3e} particle-steps/s")
+        except Exception as err:  # noqa: BLE001
+            _log(f"xla-chain measurement failed: {err}")
         try:
             rate_rbg = measure_rate(
                 n_particles=n_particles,
@@ -470,6 +533,7 @@ def main():
         "flops_per_particle_step": model["flops_per_particle_step"],
         "bytes_per_particle_step": model["bytes_per_particle_step"],
         "pipeline_131072_s": _PIPELINE_S,
+        "xla_chain_rate": rate_xla,
         "rbg_opt_in_rate": rate_rbg,
         "anchor_ok": anchor_ok,
     }

@@ -419,6 +419,22 @@ def test_fused_chain_smc_end_to_end():
         0.0 <= a <= 1.0 for a in sampler.history.mcmc_acceptance
     )
 
+    # Same run through the compiled device ladder (fused leg inside
+    # the while_loop).
+    samples2 = asp.sample_posterior(
+        sampler="smc",
+        n_samples=256,
+        device_ladder=True,
+        preconditioning="none",
+        sampler_kwargs=dict(
+            n_steps=2, fused_chain=True, max_n_steps=6
+        ),
+    )
+    sampler2 = asp._sampler
+    assert getattr(sampler2, "_ladder_has_fused", False)
+    assert np.isfinite(float(samples2.log_evidence))
+    assert np.isfinite(np.asarray(samples2.x)).all()
+
 
 def test_fused_chain_with_transforms():
     """Affine data transform + composite preconditioning round-trip."""
